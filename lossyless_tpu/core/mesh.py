@@ -1,0 +1,64 @@
+"""Device mesh and sharding utilities.
+
+The reference scales by data parallelism through Lightning's DDP plugin
+(`/root/reference/main.py:472-480`) with NCCL collectives. The TPU-native
+equivalent is a named `jax.sharding.Mesh` over all chips with
+`NamedSharding`-annotated jit: gradient all-reduce, the contrastive
+negative all-gather (replacing `GatherFromGpus`,
+/root/reference/lossyless/helpers.py:873-893) and metric `pmean`s all ride
+ICI collectives inserted by XLA.
+
+The mesh here is 1-D ("data") because the reference's models fit on one chip
+(SURVEY.md §2.2); the axis name is threaded through losses so the same code
+runs single-chip (trivial mesh) and multi-chip.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def init_distributed():
+    """Initialize multi-host JAX if launched in a multi-process environment."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Batch-axis sharding for inputs: leading dim split over the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Device-put a pytree of host arrays with the batch dim sharded."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+@contextlib.contextmanager
+def maybe_mesh(mesh: Mesh | None):
+    if mesh is None:
+        yield
+    else:
+        with mesh:
+            yield

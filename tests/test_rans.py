@@ -1,0 +1,111 @@
+"""rANS codec: round-trips, native-vs-Python bitstream identity, escapes."""
+
+import numpy as np
+import pytest
+
+from lossyless_tpu.coding import rans
+from lossyless_tpu.coding.rans import (RansCodec, _py_decode, _py_encode,
+                                       _py_pmf_to_quantized_cdf,
+                                       pmf_to_quantized_cdf)
+
+
+def make_tables(rng, n_cdfs=4, support=16):
+    cdfs, lengths, offsets = [], [], []
+    max_len = support + 2
+    for _ in range(n_cdfs):
+        pmf = rng.random(support) + 0.01
+        pmf = pmf / pmf.sum() * (1 - 1e-4)
+        row = pmf_to_quantized_cdf(np.concatenate([pmf, [1e-4]]))
+        padded = np.zeros(max_len + 1, dtype=np.int32)
+        padded[: len(row)] = row
+        cdfs.append(padded)
+        lengths.append(len(row))
+        offsets.append(-(support // 2))
+    return np.stack(cdfs), np.array(lengths), np.array(offsets)
+
+
+@pytest.fixture
+def codec():
+    rng = np.random.default_rng(0)
+    cdfs, lengths, offsets = make_tables(rng)
+    return RansCodec(cdfs, lengths, offsets)
+
+
+def test_roundtrip_in_range(codec):
+    rng = np.random.default_rng(1)
+    n = 1000
+    indexes = rng.integers(0, 4, n)
+    symbols = rng.integers(-8, 7, n)  # in-support given offset -8
+    data = codec.encode_with_indexes(symbols, indexes)
+    out = codec.decode_with_indexes(data, indexes)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_roundtrip_escapes(codec):
+    """Out-of-range symbols go through bypass coding and still round-trip."""
+    rng = np.random.default_rng(2)
+    n = 500
+    indexes = rng.integers(0, 4, n)
+    symbols = rng.integers(-500, 500, n)
+    data = codec.encode_with_indexes(symbols, indexes)
+    out = codec.decode_with_indexes(data, indexes)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_native_matches_python_bitstream(codec):
+    """The C++ stream must be byte-identical to the pure-Python reference."""
+    if not codec._use_native:
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(3)
+    n = 300
+    indexes = rng.integers(0, 4, n).astype(np.int32)
+    symbols = rng.integers(-100, 100, n).astype(np.int32)
+    native = codec.encode_with_indexes(symbols, indexes)
+    pure = _py_encode(symbols, indexes, codec.cdfs, codec.cdf_lengths,
+                      codec.offsets)
+    assert native == pure
+    # and python decode of native stream
+    out = _py_decode(native, indexes, codec.cdfs, codec.cdf_lengths,
+                     codec.offsets)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_batch_matches_single(codec):
+    rng = np.random.default_rng(4)
+    batch, m = 32, 64
+    indexes = rng.integers(0, 4, m)
+    symbols = rng.integers(-40, 40, (batch, m))
+    streams = codec.encode_batch(symbols, indexes)
+    singles = [codec.encode_with_indexes(symbols[i], indexes) for i in range(batch)]
+    assert streams == singles
+    decoded = codec.decode_batch(streams, indexes)
+    np.testing.assert_array_equal(decoded, symbols)
+
+
+def test_pmf_to_quantized_cdf_properties():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        pmf = rng.random(rng.integers(2, 40)) + 1e-6
+        pmf = pmf / pmf.sum()
+        cdf = pmf_to_quantized_cdf(pmf)
+        assert cdf[0] == 0
+        assert cdf[-1] == 1 << 16
+        assert np.all(np.diff(cdf) >= 1)  # every bin non-empty
+
+
+def test_pmf_to_quantized_cdf_native_matches_python():
+    rng = np.random.default_rng(6)
+    for _ in range(20):
+        pmf = (rng.random(17) + 1e-5).astype(np.float32)
+        pmf = pmf / pmf.sum()
+        native = pmf_to_quantized_cdf(pmf)
+        pure = _py_pmf_to_quantized_cdf(pmf)
+        np.testing.assert_array_equal(native, pure)
+
+
+def test_pmf_with_tiny_mass_bins():
+    """Zero-frequency repair (steal-from-smallest) must keep a valid CDF."""
+    pmf = np.array([0.5, 1e-12, 0.5 - 1e-12, 1e-12], dtype=np.float64)
+    cdf = pmf_to_quantized_cdf(pmf)
+    assert np.all(np.diff(cdf) >= 1)
+    assert cdf[-1] == 1 << 16
