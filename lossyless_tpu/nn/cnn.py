@@ -1,0 +1,165 @@
+"""Convolutional architectures: pyramid CNN (transposable) and BALLE.
+
+Flax/NHWC equivalents of `/root/reference/lossyless/architectures.py:382-682`.
+Structural conventions preserved:
+
+* CNN: channel-doubling stride-2 3x3 pyramid down to side 2, then a dense
+  head; the transposed variant mirrors it with ConvTranspose + pre-dense.
+* BALLE: 5x5 stride-2 conv stack with constant hidden width; the latent keeps
+  spatial structure (`channel_out_dim` channels over a (side/2^n)^2 grid,
+  flattened to a vector) — the property the spatial hyperprior rate model
+  relies on (rates.py:760-813).
+* Non-power-of-2 sides are resized to the closest power of two
+  (architectures.py:481-509) with bilinear `jax.image.resize`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import get_activation
+
+
+def _closest_pow2(n: int) -> int:
+    return 2 ** round(math.log2(n))
+
+
+class CNNEncoder(nn.Module):
+    """Image (B,H,W,C) -> vector (B,out_dim)."""
+
+    out_dim: int
+    in_shape: Sequence[int]  # (H, W, C)
+    hid_dim: int = 32
+    norm_layer: str = "batchnorm"
+    activation: str = "relu"
+    n_layers: int | None = None
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        h, w, _ = self.in_shape
+        h2, w2 = _closest_pow2(h), _closest_pow2(w)
+        if (h2, w2) != (h, w):
+            x = jax.image.resize(x, (x.shape[0], h2, w2, x.shape[-1]), "bilinear")
+        n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
+        use_bn = "batch" in (self.norm_layer or "")
+        act = get_activation(self.activation)()
+        for i in range(n_layers):
+            x = nn.Conv(self.hid_dim * 2 ** i, (3, 3), strides=2, padding=1,
+                        use_bias=not use_bn)(x)
+            if use_bn:
+                x = nn.BatchNorm(use_running_average=not training)(x)
+            x = act(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.out_dim)(x)
+
+
+class CNNDecoder(nn.Module):
+    """Vector (B,in_dim) -> image (B,H,W,C) (the transposed CNN)."""
+
+    out_shape: Sequence[int]  # (H, W, C)
+    hid_dim: int = 32
+    norm_layer: str = "batchnorm"
+    activation: str = "relu"
+    n_layers: int | None = None
+
+    @nn.compact
+    def __call__(self, z, *, training: bool = False):
+        h, w, c = self.out_shape
+        h2, w2 = _closest_pow2(h), _closest_pow2(w)
+        n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
+        use_bn = "batch" in (self.norm_layer or "")
+        act = get_activation(self.activation)()
+
+        channels = [self.hid_dim * 2 ** i for i in range(n_layers)][::-1]
+        end_h, end_w = h2 // 2 ** n_layers, w2 // 2 ** n_layers
+
+        x = nn.Dense(channels[0] * end_h * end_w, use_bias=not use_bn)(z)
+        x = x.reshape(z.shape[0], end_h, end_w, channels[0])
+        outs = channels[1:] + [c]
+        for i, out_chan in enumerate(outs):
+            is_last = i == len(outs) - 1
+            if use_bn:
+                x = nn.BatchNorm(use_running_average=not training)(x)
+            x = act(x)
+            x = nn.ConvTranspose(out_chan, (3, 3), strides=(2, 2),
+                                 padding="SAME",
+                                 use_bias=(not use_bn) or is_last)(x)
+        if (h2, w2) != (h, w):
+            x = jax.image.resize(x, (x.shape[0], h, w, c), "bilinear")
+        return x
+
+
+class BalleEncoder(nn.Module):
+    """Ballé-style analysis transform; output flattened spatial latent."""
+
+    out_dim: int
+    in_shape: Sequence[int]  # (H, W, C)
+    hid_dim: int = 256
+    n_layers: int = 4
+    norm_layer: str = "batchnorm"
+    activation: str = "relu"
+
+    @property
+    def channel_out_dim(self) -> int:
+        h, w, _ = self.in_shape
+        h2, w2 = _closest_pow2(h), _closest_pow2(w)
+        end = (h2 // 2 ** self.n_layers) * (w2 // 2 ** self.n_layers)
+        return self.out_dim // end
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        h, w, _ = self.in_shape
+        h2, w2 = _closest_pow2(h), _closest_pow2(w)
+        if (h2, w2) != (h, w):
+            x = jax.image.resize(x, (x.shape[0], h2, w2, x.shape[-1]), "bilinear")
+        use_bn = "batch" in (self.norm_layer or "")
+        act = get_activation(self.activation)()
+        for i in range(self.n_layers):
+            is_last = i == self.n_layers - 1
+            out_c = self.channel_out_dim if is_last else self.hid_dim
+            x = nn.Conv(out_c, (5, 5), strides=2, padding=2,
+                        use_bias=(not use_bn) or is_last)(x)
+            if not is_last:
+                if use_bn:
+                    x = nn.BatchNorm(use_running_average=not training)(x)
+                x = act(x)
+        return x.reshape(x.shape[0], -1)
+
+
+class BalleDecoder(nn.Module):
+    """Ballé-style synthesis transform from a flattened spatial latent."""
+
+    out_shape: Sequence[int]  # (H, W, C)
+    in_dim: int
+    hid_dim: int = 256
+    n_layers: int = 4
+    norm_layer: str = "batchnorm"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, z, *, training: bool = False):
+        h, w, c = self.out_shape
+        h2, w2 = _closest_pow2(h), _closest_pow2(w)
+        end_h, end_w = h2 // 2 ** self.n_layers, w2 // 2 ** self.n_layers
+        chan = self.in_dim // (end_h * end_w)
+        use_bn = "batch" in (self.norm_layer or "")
+        act = get_activation(self.activation, inverse=True)()
+
+        x = z.reshape(z.shape[0], end_h, end_w, chan)
+        for i in range(self.n_layers):
+            is_last = i == self.n_layers - 1
+            out_c = c if is_last else self.hid_dim
+            x = nn.ConvTranspose(out_c, (5, 5), strides=(2, 2), padding="SAME",
+                                 use_bias=(not use_bn) or is_last)(x)
+            if not is_last:
+                if use_bn:
+                    x = nn.BatchNorm(use_running_average=not training)(x)
+                x = act(x)
+        if (h2, w2) != (h, w):
+            x = jax.image.resize(x, (x.shape[0], h, w, c), "bilinear")
+        return x

@@ -1,0 +1,185 @@
+"""CLIP ViT-B/32 visual tower, TPU-native.
+
+This is the hot path of the reference's deployment compressor
+(`/root/reference/hub/compressor.py:39-40,93` — `clip.load("ViT-B/32").visual`
+run in fp16 on GPU). Here it is a flax module designed for the MXU:
+
+* bfloat16 activations/weights by default (fp32 LayerNorm statistics),
+* patchify expressed as a single strided conv -> (B, 49, 768) so the whole
+  network is large batched matmuls,
+* pre-LN transformer blocks with QuickGELU (x * sigmoid(1.702x)), matching
+  OpenAI CLIP so converted weights are drop-in,
+* final LayerNorm on the class token + projection to 512-d embeddings.
+
+`convert_openai_clip_weights` maps an OpenAI CLIP state dict (torch) onto this
+module's parameter tree for when real weights are available; tests and
+benchmarks run with random init (throughput is weight-agnostic).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class MHSA(nn.Module):
+    width: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        h = self.heads
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, h, D // h).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, h, D // h).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, h, D // h).transpose(0, 2, 1, 3)
+        scale = (D // h) ** -0.5
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    width: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # LayerNorm statistics in fp32 for stability; body in bf16
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
+        x = x + MHSA(self.width, self.heads, self.dtype, name="attn")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
+        y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
+        y = y * nn.sigmoid(1.702 * y)  # QuickGELU
+        y = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(y)
+        return x + y
+
+
+class VisionTransformer(nn.Module):
+    """CLIP visual tower. Input NHWC float images (already normalized)."""
+
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    out_dim: int = 512
+    image_size: int = 224
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        B = x.shape[0]
+        x = x.astype(self.dtype)
+        # patchify: conv stride=patch -> (B, grid, grid, width)
+        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
+                    strides=self.patch_size, use_bias=False,
+                    dtype=self.dtype, name="patch_embed")(x)
+        x = x.reshape(B, -1, self.width)
+
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(0.02), (self.width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.width)), x],
+            axis=1)
+        n_tokens = (self.image_size // self.patch_size) ** 2 + 1
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(0.02), (n_tokens, self.width))
+        x = x + pos.astype(self.dtype)[None]
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        for i in range(self.layers):
+            x = Block(self.width, self.heads, self.dtype, name=f"block{i}")(x)
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0])
+        proj = self.param("proj", nn.initializers.normal(0.02),
+                          (self.width, self.out_dim))
+        return (x.astype(self.dtype) @ proj.astype(self.dtype)).astype(jnp.float32)
+
+
+def vit_b32(dtype=jnp.bfloat16) -> VisionTransformer:
+    return VisionTransformer(dtype=dtype)
+
+
+# CLIP preprocessing constants (the reference uses clip.load's preprocess:
+# bicubic resize 224 + center crop + per-channel normalize,
+# utils/data/images.py:383-389)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def clip_preprocess(x: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """Resize (bicubic) + center-crop + normalize; NHWC in [0,1]."""
+    import jax
+
+    b, h, w, c = x.shape
+    scale = size / min(h, w)
+    nh, nw = round(h * scale), round(w * scale)
+    x = jax.image.resize(x, (b, nh, nw, c), "cubic")
+    top, left = (nh - size) // 2, (nw - size) // 2
+    x = jax.lax.dynamic_slice(x, (0, top, left, 0), (b, size, size, c))
+    return (x - CLIP_MEAN) / CLIP_STD
+
+
+def convert_openai_clip_weights(torch_state_dict) -> dict:
+    """Map OpenAI CLIP `visual.*` weights onto this module's param tree.
+
+    Accepts the state dict of the full CLIP model or of the visual tower.
+    Returns a flax params dict for `VisionTransformer`.
+    """
+    sd = {}
+    for k, v in torch_state_dict.items():
+        k = k[len("visual."):] if k.startswith("visual.") else k
+        sd[k] = np.asarray(v.float().cpu().numpy() if hasattr(v, "cpu") else v,
+                           dtype=np.float32)
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    params = {
+        "patch_embed": {
+            # torch conv OIHW -> flax HWIO
+            "kernel": sd["conv1.weight"].transpose(2, 3, 1, 0)
+        },
+        "class_embedding": sd["class_embedding"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_pre": ln("ln_pre"),
+        "ln_post": ln("ln_post"),
+        "proj": sd["proj"],
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        p = f"transformer.resblocks.{i}"
+        params[f"block{i}"] = {
+            "ln_1": ln(f"{p}.ln_1"),
+            "ln_2": ln(f"{p}.ln_2"),
+            "attn": {
+                "qkv": {
+                    "kernel": sd[f"{p}.attn.in_proj_weight"].T,
+                    "bias": sd[f"{p}.attn.in_proj_bias"],
+                },
+                "proj": {
+                    "kernel": sd[f"{p}.attn.out_proj.weight"].T,
+                    "bias": sd[f"{p}.attn.out_proj.bias"],
+                },
+            },
+            "mlp_fc": {
+                "kernel": sd[f"{p}.mlp.c_fc.weight"].T,
+                "bias": sd[f"{p}.mlp.c_fc.bias"],
+            },
+            "mlp_proj": {
+                "kernel": sd[f"{p}.mlp.c_proj.weight"].T,
+                "bias": sd[f"{p}.mlp.c_proj.bias"],
+            },
+        }
+        i += 1
+    return params

@@ -1,0 +1,155 @@
+"""Train state: one jit'd update over three optimizer groups.
+
+The reference uses Lightning's multi-optimizer dispatch — `training_step` is
+called once per optimizer {main, online, coder}
+(`/root/reference/lossyless/learnable_compressors.py:277-303,370-416`), i.e.
+three forward passes per batch. Here the combined objective is differentiated
+once and `optax.multi_transform` routes gradient partitions by parameter
+path:
+
+* "coder"  — entropy-model quantiles (paths ending in `quantiles`),
+  matching `aux_parameters()` (rates.py:475-479),
+* "online" — the online evaluator probe (stop-gradient inputs),
+* "main"   — everything else (encoder, rate nets, distortion nets).
+
+This holds because each sub-loss touches a disjoint parameter set (probe
+inputs are stop-gradient'ed; quantile aux loss freezes the density weights;
+the density's medians only enter eval-mode quantization), so one backward
+pass computes exactly the same three gradient sets as Lightning's three.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    mode: str = "adam"                   # adam|adamw|sgd
+    lr: float = 3e-4
+    weight_decay: float = 0.0
+    # scheduler: {none, expdecay, unifmultistep}
+    scheduler: str = "none"
+    decay_factor: float = 1000.0
+    k_steps: int = 3
+    total_steps: int = 10000
+
+
+def _make_schedule(cfg: OptimConfig):
+    if cfg.scheduler == "none":
+        return cfg.lr
+    if cfg.scheduler == "expdecay":
+        # decay lr by decay_factor over total_steps (helpers.py:492-550)
+        return optax.exponential_decay(
+            cfg.lr, transition_steps=cfg.total_steps,
+            decay_rate=1.0 / cfg.decay_factor)
+    if cfg.scheduler == "unifmultistep":
+        k = cfg.k_steps
+        gamma = (1.0 / cfg.decay_factor) ** (1.0 / k)
+        delta = cfg.total_steps // (k + 1)
+        return optax.piecewise_constant_schedule(
+            cfg.lr, {delta * i: gamma for i in range(1, k + 1)})
+    raise ValueError(f"unknown scheduler {cfg.scheduler}")
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    lr = _make_schedule(cfg)
+    if cfg.mode == "adam":
+        return optax.adam(lr)
+    if cfg.mode == "adamw":
+        return optax.adamw(lr, weight_decay=cfg.weight_decay)
+    if cfg.mode == "sgd":
+        return optax.sgd(lr, momentum=0.9)
+    raise ValueError(f"unknown optimizer {cfg.mode}")
+
+
+def _param_label(path) -> str:
+    keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    if any(k == "quantiles" for k in keys):
+        return "coder"
+    if any(k == "online_evaluator" for k in keys):
+        return "online"
+    return "main"
+
+
+def make_tx(params, main: OptimConfig, online: OptimConfig | None = None,
+            coder: OptimConfig | None = None) -> optax.GradientTransformation:
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: _param_label(path), params)
+    return optax.multi_transform(
+        {
+            "main": make_optimizer(main),
+            "online": make_optimizer(online or main),
+            "coder": make_optimizer(coder or main),
+        },
+        labels)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, model, sample_batch, rng, main: OptimConfig,
+               online: OptimConfig | None = None,
+               coder: OptimConfig | None = None):
+        x, y, aux = sample_batch
+        init_rng, step_rng = jax.random.split(rng)
+        variables = model.init(
+            {"params": init_rng}, x, y, aux, training=True, step=0,
+            rng=step_rng)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        tx = make_tx(params, main, online, coder)
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   apply_fn=model.apply, tx=tx)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def train_step(state: TrainState, batch, rng):
+    """One fused RD + online + coder update."""
+    x, y, aux = batch
+
+    def loss_fn(params):
+        variables = {"params": params}
+        mutable = []
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        out, new_model_state = state.apply_fn(
+            variables, x, y, aux, training=True, step=state.step, rng=rng,
+            mutable=mutable)
+        loss, logs = out
+        return loss, (logs, new_model_state)
+
+    (loss, (logs, new_model_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_bs = new_model_state.get("batch_stats", state.batch_stats)
+    return state.replace(step=state.step + 1, params=params,
+                         batch_stats=new_bs, opt_state=opt_state), logs
+
+
+@partial(jax.jit, static_argnames=("is_rate_only",))
+def eval_step(state: TrainState, batch, rng=None, is_rate_only: bool = False):
+    x, y, aux = batch
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    loss, logs = state.apply_fn(
+        variables, x, y, aux, training=False, step=state.step, rng=rng,
+        method="step", is_rate_only=is_rate_only)
+    return loss, logs

@@ -3,15 +3,20 @@
 Multi-chip hardware is not available in CI; all sharding tests run against
 XLA's host-platform device virtualization (SURVEY.md §4 implication — the
 reference has no distributed tests at all; we simulate the mesh on CPU).
+
+Note: this environment pre-imports jax at interpreter startup (axon tunnel
+site hook), so JAX_PLATFORMS in os.environ is read too late — we must go
+through jax.config.update before any backend initializes.
 """
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA flags are parsed at CPU-backend creation, which hasn't happened yet
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (already in sys.modules; config still mutable)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,141 @@
+"""End-to-end training smoke tests on the banana source (VIC/VAE)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lossyless_tpu.compressors.compressor import (CompressorConfig,
+                                                  EncoderConfig,
+                                                  LearnableCompressor,
+                                                  LossConfig,
+                                                  OnlineEvalConfig)
+from lossyless_tpu.compressors.distortions import DistortionConfig
+from lossyless_tpu.compressors.rates import RateConfig
+from lossyless_tpu.data.banana import BananaDataset
+from lossyless_tpu.train.state import OptimConfig, TrainState, train_step
+
+
+def banana_cfg(distortion_mode="direct", rate_mode="H_factorized",
+               family="deterministic"):
+    return CompressorConfig(
+        encoder=EncoderConfig(
+            arch="mlp", z_dim=2, family=family,
+            arch_kwargs=dict(hid_dim=64, n_hid_layers=2)),
+        rate=RateConfig(mode=rate_mode),
+        distortion=DistortionConfig(
+            mode=distortion_mode, data_mode="distribution",
+            is_classification=False, arch_kwargs=dict(hid_dim=64, n_hid_layers=2)),
+        online=OnlineEvalConfig(
+            is_online=True, is_classification=False,
+            arch_kwargs=dict(hid_dim=32)),
+        loss=LossConfig(beta=0.07, beta_anneal="constant", n_steps_anneal=100),
+        in_shape=(2,),
+        target_shape=1,
+        aux_shape=2,
+    )
+
+
+def make_state(cfg, batch):
+    model = LearnableCompressor(cfg)
+    return model, TrainState.create(
+        model, batch, jax.random.key(0),
+        main=OptimConfig(lr=3e-4), coder=OptimConfig(lr=3e-4),
+        online=OptimConfig(lr=1e-3))
+
+
+@pytest.mark.parametrize("rate_mode", ["H_factorized", "MI", "lossless"])
+def test_train_step_runs_and_improves(rate_mode):
+    family = "diaggaussian" if rate_mode == "MI" else "deterministic"
+    cfg = banana_cfg(rate_mode=rate_mode, family=family)
+    ds = BananaDataset(length=4096, additional_target="representative")
+    batches = list(ds.batches(256, n_epochs=8))
+    model, state = make_state(cfg, batches[0])
+
+    losses = []
+    for i, b in enumerate(batches):
+        state, logs = train_step(state, b, jax.random.key(i))
+        losses.append(float(logs["loss"]))
+    assert np.all(np.isfinite(losses))
+    # loss should clearly drop over training
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_param_groups_partition():
+    cfg = banana_cfg()
+    ds = BananaDataset(length=512)
+    batch = next(ds.batches(128))
+    model, state = make_state(cfg, batch)
+
+    from lossyless_tpu.train.state import _param_label
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: _param_label(p), state.params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    found = {v for _, v in flat}
+    assert found == {"main", "online", "coder"}
+    # quantiles must be coder-labeled
+    for path, v in flat:
+        keys = [getattr(p, "key", "") for p in path]
+        if "quantiles" in keys:
+            assert v == "coder"
+
+
+def test_online_probe_does_not_leak_into_encoder():
+    """Gradient of the online loss alone w.r.t. encoder params must be zero."""
+    cfg = banana_cfg()
+    ds = BananaDataset(length=512)
+    x, y, aux = next(ds.batches(128))
+    model = LearnableCompressor(cfg)
+    variables = model.init({"params": jax.random.key(0)}, x, y, aux,
+                           training=True, step=0, rng=jax.random.key(1))
+
+    def online_only(params):
+        out, _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k == "batch_stats"}},
+            x, y, aux, training=True, step=0, rng=jax.random.key(1),
+            mutable=["batch_stats"])
+        _, logs = out
+        return logs["online_loss"]
+
+    g = jax.grad(online_only)(variables["params"])
+    enc_grad = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), g["p_ZlX"], 0.0)
+    online_grad = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), g["online_evaluator"], 0.0)
+    assert float(enc_grad) == 0.0
+    assert float(online_grad) > 0.0
+
+
+def test_vae_mode_trains():
+    cfg = banana_cfg()
+    ds = BananaDataset(length=2048, additional_target="input")
+    batches = list(ds.batches(256, n_epochs=2))
+    model, state = make_state(cfg, batches[0])
+    for i, b in enumerate(batches):
+        state, logs = train_step(state, b, jax.random.key(i))
+    assert np.isfinite(float(logs["loss"]))
+
+
+def test_contrastive_distortion_trains():
+    cfg = CompressorConfig(
+        encoder=EncoderConfig(arch="mlp", z_dim=16,
+                              arch_kwargs=dict(hid_dim=64)),
+        rate=RateConfig(mode="H_factorized"),
+        distortion=DistortionConfig(mode="contrastive", project_dim=16,
+                                    temperature=0.1),
+        online=OnlineEvalConfig(is_online=False),
+        loss=LossConfig(beta=0.01, beta_anneal="constant"),
+        in_shape=(2,), target_shape=1, aux_shape=(2,),
+    )
+    ds = BananaDataset(length=2048, additional_target="representative")
+    batches = list(ds.batches(128, n_epochs=2))
+    model, state = make_state(cfg, batches[0])
+    first = None
+    for i, b in enumerate(batches):
+        state, logs = train_step(state, b, jax.random.key(i))
+        if first is None:
+            first = float(logs["distortion"])
+    assert np.isfinite(float(logs["loss"]))
+    # InfoNCE should improve (distortion falls)
+    assert float(logs["distortion"]) < first
