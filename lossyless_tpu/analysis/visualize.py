@@ -1,0 +1,127 @@
+"""Training/posthoc visualizations: codebook cells, latent traversals,
+reconstructions, max-invariant distributions.
+
+Equivalent of `/root/reference/lossyless/callbacks.py` (ReconstructImages
+:92-116, LatentDimInterpolator :119-231, CodebookPlot :234-362,
+MaxinvDistributionPlot :365-500), as pure plotting functions over a trained
+compressor — callable during training or offline (the reference's
+PretrainedAnalyser path, utils/load_pretrained.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_reconstructions(x, x_hat, out_path, n: int = 8):
+    """Side-by-side originals / reconstructions (callbacks.py:92-116)."""
+    plt = _plt()
+    x, x_hat = np.asarray(x)[:n], np.asarray(x_hat)[:n]
+    fig, axes = plt.subplots(2, n, figsize=(1.6 * n, 3.4))
+    for i in range(n):
+        for r, img in enumerate((x[i], x_hat[i])):
+            ax = axes[r, i]
+            ax.imshow(np.clip(img.squeeze(), 0, 1),
+                      cmap="gray" if img.shape[-1] == 1 else None)
+            ax.axis("off")
+    axes[0, 0].set_title("x", loc="left")
+    axes[1, 0].set_title("x_hat", loc="left")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def latent_traversal(decode_fn, z_base, out_path, dims=(0, 1), span=2.0,
+                     n_steps: int = 9):
+    """Decode a 1d/2d sweep around `z_base` (callbacks.py:119-231)."""
+    plt = _plt()
+    z_base = np.asarray(z_base, np.float32)
+    deltas = np.linspace(-span, span, n_steps)
+    if len(dims) == 1:
+        zs = np.tile(z_base, (n_steps, 1))
+        zs[:, dims[0]] += deltas
+        imgs = np.asarray(decode_fn(zs))
+        fig, axes = plt.subplots(1, n_steps, figsize=(1.4 * n_steps, 1.6))
+        for i, ax in enumerate(axes):
+            ax.imshow(np.clip(imgs[i].squeeze(), 0, 1), cmap="gray")
+            ax.axis("off")
+    else:
+        d0, d1 = dims[:2]
+        zs = np.tile(z_base, (n_steps * n_steps, 1))
+        grid = np.stack(np.meshgrid(deltas, deltas), -1).reshape(-1, 2)
+        zs[:, d0] += grid[:, 0]
+        zs[:, d1] += grid[:, 1]
+        imgs = np.asarray(decode_fn(zs))
+        fig, axes = plt.subplots(n_steps, n_steps,
+                                 figsize=(1.2 * n_steps, 1.2 * n_steps))
+        for i, ax in enumerate(axes.ravel()):
+            ax.imshow(np.clip(imgs[i].squeeze(), 0, 1), cmap="gray")
+            ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def codebook_plot(encode_quantize_fn, decode_fn, out_path, xlim=(-5, 5),
+                  ylim=(-5, 5), n_grid: int = 300):
+    """Quantization cells + codebook of a 2D source (callbacks.py:234-362).
+
+    `encode_quantize_fn`: (N,2) points -> (N, z_dim) *quantized* latents;
+    `decode_fn`: latents -> (N,2) reconstructions (or None to skip points).
+    """
+    plt = _plt()
+    xs = np.linspace(*xlim, n_grid)
+    ys = np.linspace(*ylim, n_grid)
+    grid = np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2).astype(np.float32)
+
+    z_hat = np.asarray(encode_quantize_fn(grid))
+    # discrete cell id per grid point
+    _, cell_ids = np.unique(z_hat.round(5), axis=0, return_inverse=True)
+    img = cell_ids.reshape(n_grid, n_grid)
+
+    fig, ax = plt.subplots(figsize=(5.5, 5))
+    # randomize color order so adjacent cells contrast
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(cell_ids.max() + 1)
+    ax.imshow(perm[img], origin="lower", extent=(*xlim, *ylim),
+              cmap="tab20", interpolation="nearest", alpha=0.6)
+
+    if decode_fn is not None:
+        uniq = np.unique(z_hat.round(5), axis=0)
+        points = np.asarray(decode_fn(uniq.astype(np.float32)))
+        ax.scatter(points[:, 0], points[:, 1], c="k", s=12, marker="o",
+                   label="codebook")
+        ax.legend(loc="upper right")
+    ax.set_xlabel("Source dim. 1")
+    ax.set_ylabel("Source dim. 2")
+    ax.set_title(f"{len(np.unique(cell_ids))} quantization cells")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def maxinv_distribution_plot(samples, max_invariant_fn, out_path,
+                             n_bins: int = 60):
+    """Histogram of the max-invariant under the source (callbacks.py:365-500)."""
+    plt = _plt()
+    samples = np.asarray(samples)
+    mx = np.asarray(max_invariant_fn(samples)).ravel()
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(9, 4))
+    ax0.scatter(samples[:, 0], samples[:, 1], s=2, alpha=0.3)
+    ax0.set_title("source samples")
+    ax1.hist(mx, bins=n_bins, density=True)
+    ax1.set_title("max-invariant M(X) distribution")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

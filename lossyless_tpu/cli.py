@@ -1,0 +1,48 @@
+"""CLI entry point: `python -m lossyless_tpu.cli <preset> [overrides...]`.
+
+Equivalent of the reference's hydra entry `python main.py <overrides>`
+(`/root/reference/main.py:88`): pick a preset experiment, apply dotted
+overrides, run the 3-stage pipeline, print the resulting metrics.
+
+Example:
+    python -m lossyless_tpu.cli banana_viz_VIC loss.beta=0.07 \
+        data_feat.n_epochs=50 trainer.seed=123
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("preset", help="experiment preset name "
+                        "(banana_viz_VIC, banana_viz_VAE, mnist_vic, "
+                        "stl10_bince, clip_lossyZ) or 'default'")
+    parser.add_argument("overrides", nargs="*",
+                        help="dotted overrides key=value")
+    parser.add_argument("--dev", action="store_true",
+                        help="dev mode: cap epochs/batches (config/mode/dev)")
+    args = parser.parse_args(argv)
+
+    from .pipeline.config import ExperimentConfig, apply_overrides, preset
+    from .pipeline.run import main as run_main
+
+    cfg = (ExperimentConfig() if args.preset == "default"
+           else preset(args.preset))
+    if args.dev:
+        cfg.data_feat.n_epochs = min(cfg.data_feat.n_epochs, 2)
+        cfg.trainer.limit_train_batches = 0.1
+        cfg.trainer.limit_eval_batches = 0.2
+    cfg = apply_overrides(cfg, args.overrides)
+
+    metrics = run_main(cfg)
+    print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in metrics.items()}, indent=2))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

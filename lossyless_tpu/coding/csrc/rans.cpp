@@ -324,6 +324,50 @@ int64_t rans_encode_batch(const int32_t* symbols, int64_t batch, int64_t m,
   return total;
 }
 
+// Variant with per-message index rows (hyperprior: indexes depend on decoded
+// side information, so each sample has its own index vector).
+
+struct BatchEncVarCtx {
+  const int32_t* symbols;
+  const int32_t* indexes;  // B*m row-major
+  int64_t m;
+  const int32_t* cdfs;
+  const int32_t* cdf_lengths;
+  const int32_t* offsets;
+  int64_t cdf_stride;
+  uint8_t* out;
+  int64_t per_msg_capacity;
+  int64_t* out_lengths;
+};
+
+static void batch_encode_var_body(int64_t i, void* vctx) {
+  auto* c = static_cast<BatchEncVarCtx*>(vctx);
+  c->out_lengths[i] = encode_one(
+      c->symbols + i * c->m, c->m, c->indexes + i * c->m, c->cdfs,
+      c->cdf_lengths, c->offsets, c->cdf_stride,
+      c->out + i * c->per_msg_capacity, c->per_msg_capacity);
+}
+
+struct BatchDecVarCtx {
+  const uint8_t* bytes;
+  const int64_t* byte_offsets;
+  const int32_t* indexes;  // B*m row-major
+  int64_t m;
+  const int32_t* cdfs;
+  const int32_t* cdf_lengths;
+  const int32_t* offsets;
+  int64_t cdf_stride;
+  int32_t* out_symbols;
+};
+
+static void batch_decode_var_body(int64_t i, void* vctx) {
+  auto* c = static_cast<BatchDecVarCtx*>(vctx);
+  decode_one(c->bytes + c->byte_offsets[i],
+             c->byte_offsets[i + 1] - c->byte_offsets[i],
+             c->indexes + i * c->m, c->m, c->cdfs, c->cdf_lengths, c->offsets,
+             c->cdf_stride, c->out_symbols + i * c->m);
+}
+
 struct BatchDecCtx {
   const uint8_t* bytes;
   const int64_t* byte_offsets;  // batch+1 prefix offsets into `bytes`
@@ -352,6 +396,38 @@ int64_t rans_decode_batch(const uint8_t* bytes, const int64_t* byte_offsets,
   BatchDecCtx ctx{bytes,      byte_offsets, indexes, m,          cdfs,
                   cdf_lengths, offsets,      cdf_stride, out_symbols};
   parallel_for(batch, n_threads, batch_decode_body, &ctx);
+  return batch * m;
+}
+
+int64_t rans_encode_batch_varidx(const int32_t* symbols, int64_t batch,
+                                 int64_t m, const int32_t* indexes,
+                                 const int32_t* cdfs,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets, int64_t cdf_stride,
+                                 uint8_t* out, int64_t per_msg_capacity,
+                                 int64_t* out_lengths, int64_t n_threads) {
+  BatchEncVarCtx ctx{symbols,    indexes, m,   cdfs,           cdf_lengths,
+                     offsets,    cdf_stride, out, per_msg_capacity,
+                     out_lengths};
+  parallel_for(batch, n_threads, batch_encode_var_body, &ctx);
+  int64_t total = 0;
+  for (int64_t i = 0; i < batch; ++i) {
+    if (out_lengths[i] < 0) return -1;
+    total += out_lengths[i];
+  }
+  return total;
+}
+
+int64_t rans_decode_batch_varidx(const uint8_t* bytes,
+                                 const int64_t* byte_offsets, int64_t batch,
+                                 const int32_t* indexes, int64_t m,
+                                 const int32_t* cdfs,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets, int64_t cdf_stride,
+                                 int32_t* out_symbols, int64_t n_threads) {
+  BatchDecVarCtx ctx{bytes,       byte_offsets, indexes, m,          cdfs,
+                     cdf_lengths, offsets,       cdf_stride, out_symbols};
+  parallel_for(batch, n_threads, batch_decode_var_body, &ctx);
   return batch * m;
 }
 

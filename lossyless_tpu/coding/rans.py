@@ -90,6 +90,16 @@ def _get_lib():
             u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, i32p, i32p,
             ctypes.c_int64, i32p, ctypes.c_int64,
         ]
+        lib.rans_encode_batch_varidx.restype = ctypes.c_int64
+        lib.rans_encode_batch_varidx.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
+            ctypes.c_int64, u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+        ]
+        lib.rans_decode_batch_varidx.restype = ctypes.c_int64
+        lib.rans_decode_batch_varidx.argtypes = [
+            u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, i32p, i32p,
+            ctypes.c_int64, i32p, ctypes.c_int64,
+        ]
         lib.pmf_to_quantized_cdf.restype = ctypes.c_int32
         lib.pmf_to_quantized_cdf.argtypes = [f32p, ctypes.c_int32,
                                              ctypes.c_int32, i32p]
@@ -345,6 +355,63 @@ class RansCodec:
         blob = np.frombuffer(b"".join(streams), dtype=np.uint8)
         out = np.empty((batch, m), dtype=np.int32)
         lib.rans_decode_batch(
+            _ptr(blob, ctypes.c_uint8), _ptr(byte_offsets, ctypes.c_int64),
+            batch, _ptr(indexes, ctypes.c_int32), m,
+            _ptr(self.cdfs, ctypes.c_int32),
+            _ptr(self.cdf_lengths, ctypes.c_int32),
+            _ptr(self.offsets, ctypes.c_int32), self.cdfs.shape[1],
+            _ptr(out, ctypes.c_int32), self.n_threads)
+        return out
+
+
+    def encode_batch_varidx(self, symbols, indexes) -> list[bytes]:
+        """Per-message index rows: symbols (B, m), indexes (B, m)."""
+        symbols, indexes = _as_i32(symbols), _as_i32(indexes)
+        batch, m = symbols.shape
+        if batch == 0:
+            return []
+        if not self._use_native:
+            return [
+                _py_encode(symbols[i], indexes[i], self.cdfs,
+                           self.cdf_lengths, self.offsets)
+                for i in range(batch)
+            ]
+        lib = _get_lib()
+        per_cap = 4 * (m * 12 + 32)
+        out = np.empty(batch * per_cap, dtype=np.uint8)
+        lengths = np.empty(batch, dtype=np.int64)
+        total = lib.rans_encode_batch_varidx(
+            _ptr(symbols, ctypes.c_int32), batch, m,
+            _ptr(indexes, ctypes.c_int32), _ptr(self.cdfs, ctypes.c_int32),
+            _ptr(self.cdf_lengths, ctypes.c_int32),
+            _ptr(self.offsets, ctypes.c_int32), self.cdfs.shape[1],
+            _ptr(out, ctypes.c_uint8), per_cap, _ptr(lengths, ctypes.c_int64),
+            self.n_threads)
+        if total < 0:
+            raise RuntimeError("rANS batch encode overflow")
+        return [
+            out[i * per_cap:i * per_cap + lengths[i]].tobytes()
+            for i in range(batch)
+        ]
+
+    def decode_batch_varidx(self, streams: list[bytes], indexes) -> np.ndarray:
+        indexes = _as_i32(indexes)
+        batch, m = indexes.shape
+        if batch == 0:
+            return np.empty((0, m), dtype=np.int32)
+        if not self._use_native:
+            return np.stack([
+                np.array(_py_decode(s, indexes[i], self.cdfs,
+                                    self.cdf_lengths, self.offsets),
+                         dtype=np.int32)
+                for i, s in enumerate(streams)
+            ])
+        lib = _get_lib()
+        byte_offsets = np.zeros(batch + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in streams], out=byte_offsets[1:])
+        blob = np.frombuffer(b"".join(streams), dtype=np.uint8)
+        out = np.empty((batch, m), dtype=np.int32)
+        lib.rans_decode_batch_varidx(
             _ptr(blob, ctypes.c_uint8), _ptr(byte_offsets, ctypes.c_int64),
             batch, _ptr(indexes, ctypes.c_int32), m,
             _ptr(self.cdfs, ctypes.c_int32),

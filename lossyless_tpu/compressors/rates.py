@@ -315,3 +315,90 @@ class FactorizedCoder:
         symbols = self.codec.decode_batch(streams, self.indexes)
         z_hat = symbols.astype(np.float32) + self.medians[None]
         return self.process_out(z_hat)
+
+
+class HyperpriorCoder:
+    """compress/decompress for HRateHyperprior (rates.py:697-722).
+
+    Two streams per sample: EB-coded side info, then the main latent coded
+    against per-element conditional Gaussians whose scale/mean come from the
+    decoded side info. The side/z encoder MLPs run jitted on device; symbol
+    <-> byte conversion is the threaded host codec.
+    """
+
+    def __init__(self, module: "HRateHyperprior", params: dict,
+                 batch_stats: dict | None = None):
+        self.module = module
+        self.variables = {"params": params}
+        if batch_stats:
+            self.variables["batch_stats"] = batch_stats
+
+        ebp = {k: np.asarray(v)
+               for k, v in params["entropy_bottleneck"].items()}
+        side_tables = eb.build_cdf_tables(ebp)
+        self.side_codec = RansCodec(side_tables.quantized_cdf,
+                                    side_tables.cdf_length, side_tables.offset)
+        self.side_medians = np.asarray(eb.medians(ebp))
+        self.side_indexes = np.arange(len(self.side_medians), dtype=np.int32)
+
+        self.scale_table = gc.default_scale_table()
+        z_tables = gc.build_cdf_tables(self.scale_table)
+        self.z_codec = RansCodec(z_tables.quantized_cdf, z_tables.cdf_length,
+                                 z_tables.offset)
+
+        import jax
+
+        def _encode_side(x):
+            def fn(m, z):
+                z_in = m.affine.process_in(z)
+                side_z = m.side_encoder(z_in, training=False)
+                return z_in, side_z
+            return module.apply(self.variables, x, method=fn)
+
+        def _gaussian_params(side_z_hat):
+            def fn(m, s):
+                return m._gaussian_params(s, False)
+            return module.apply(self.variables, side_z_hat, method=fn)
+
+        def _process_out(z_hat):
+            def fn(m, z):
+                return m.affine.process_out(z)
+            return module.apply(self.variables, z_hat, method=fn)
+
+        self._encode_side = jax.jit(_encode_side)
+        self._gaussian_params = jax.jit(_gaussian_params)
+        self._process_out = jax.jit(_process_out)
+
+    def _indexes_means(self, side_z_hat_np):
+        import jax.numpy as jnp
+
+        scales, means = self._gaussian_params(jnp.asarray(side_z_hat_np))
+        scales = np.asarray(scales)
+        means = np.asarray(means) if means is not None else None
+        idx = np.asarray(gc.build_indexes(jnp.asarray(scales),
+                                          self.scale_table))
+        return idx, means
+
+    def compress(self, z) -> list[list[bytes]]:
+        z_in, side_z = map(np.asarray, self._encode_side(np.asarray(z)))
+        side_symbols = np.round(side_z - self.side_medians[None]).astype(np.int32)
+        side_streams = self.side_codec.encode_batch(side_symbols,
+                                                    self.side_indexes)
+        # decoder sees the *quantized* side info
+        side_z_hat = side_symbols.astype(np.float32) + self.side_medians[None]
+        indexes, means = self._indexes_means(side_z_hat)
+        z_symbols = np.round(z_in - (means if means is not None else 0.0)) \
+            .astype(np.int32)
+        z_streams = self.z_codec.encode_batch_varidx(z_symbols, indexes)
+        return [z_streams, side_streams]
+
+    def decompress(self, all_strings) -> np.ndarray:
+        z_streams, side_streams = all_strings
+        side_symbols = self.side_codec.decode_batch(side_streams,
+                                                    self.side_indexes)
+        side_z_hat = side_symbols.astype(np.float32) + self.side_medians[None]
+        indexes, means = self._indexes_means(side_z_hat)
+        z_symbols = self.z_codec.decode_batch_varidx(z_streams, indexes)
+        z_hat = z_symbols.astype(np.float32) + \
+            (means if means is not None else 0.0)
+        return np.asarray(self._process_out(z_hat))

@@ -22,6 +22,58 @@ import dataclasses
 import numpy as np
 
 
+def device_sample_batch(key, batch_size: int, equivalence: str = "rotation",
+                        additional_target: str = "representative"):
+    """Generate one (x, Mx, aux) banana batch fully on device (pure jax).
+
+    TPU-first path: the banana source is generative, so an entire epoch
+    (sampling + group actions + training) can fuse into a single jit/scan
+    program with zero host->device traffic. Semantics match the host
+    `BananaDataset` (same distribution, invariants, representatives).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k_base, k_act = jax.random.split(key)
+    d = BananaDistribution()
+    std = jnp.array([d.factor * d.scale, d.scale], jnp.float32)
+    x = jax.random.normal(k_base, (batch_size, 2)) * std
+    curv, fac = d.curvature / d.scale, d.factor * d.scale
+    x = x.at[:, 1].add(curv * (x[:, 0] ** 2 - fac ** 2))
+    a = jnp.deg2rad(d.angle)
+    rot = jnp.array([[jnp.cos(a), -jnp.sin(a)], [jnp.sin(a), jnp.cos(a)]])
+    x = x @ rot.T + jnp.asarray(d.location) * d.scale
+
+    if equivalence == "rotation":
+        mx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        left = jnp.concatenate([-mx, jnp.zeros_like(mx)], -1)
+        a45 = jnp.deg2rad(45.0)
+        r45 = jnp.array([[jnp.cos(a45), -jnp.sin(a45)],
+                         [jnp.sin(a45), jnp.cos(a45)]])
+        rep = left @ r45.T
+        if additional_target == "representative":
+            # didactic orbit resampling (reference distributions.py:59-71)
+            ang = jax.random.uniform(k_act, (batch_size,)) * 2 * jnp.pi
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            x = jnp.stack([c * rep[:, 0] - s * rep[:, 1],
+                           s * rep[:, 0] + c * rep[:, 1]], -1)
+            aux = rep
+        elif additional_target == "input":
+            aux = x
+        else:
+            aux = mx
+    elif equivalence in ("x_translation", "y_translation"):
+        axis = 0 if equivalence == "y_translation" else 1
+        mx = x[:, axis:axis + 1]
+        rep = jnp.zeros_like(x).at[:, axis].set(mx[:, 0])
+        aux = rep if additional_target == "representative" else (
+            x if additional_target == "input" else mx)
+    else:
+        mx = x
+        aux = x if additional_target in ("representative", "input") else mx
+    return x, mx, aux
+
+
 def rotate(x: np.ndarray, angle_deg) -> np.ndarray:
     """Rotate 2D points by `angle_deg` degrees (utils/data/helpers.py:58-63)."""
     a = np.deg2rad(angle_deg)
@@ -69,6 +121,9 @@ class BananaDataset:
         self.min_x, self.min_y = np.quantile(self.data, 0.1, axis=0)
         self.max_x, self.max_y = np.quantile(self.data, 0.9, axis=0)
         self._rng = rng
+
+    def __len__(self):
+        return self.length
 
     def max_invariant(self, samples: np.ndarray) -> np.ndarray:
         if self.equivalence == "rotation":

@@ -1,0 +1,275 @@
+"""Experiment configuration: dataclass tree + dotted overrides + presets.
+
+The reference composes ~60 Hydra YAML groups (`/root/reference/config/`,
+SURVEY.md §5.6). Here the same surface is a typed dataclass tree with
+
+* dotted-path CLI overrides (`encoder.z_dim=2 rate.mode=H_hyper`) with
+  literal-eval coercion — the Hydra override syntax users already know,
+* named presets mirroring the reference's experiment groups
+  (banana_viz_VIC, mnist_aug VIC, stl10 BINCE, CLIP lossy_Z, ...),
+* a path naming scheme encoding key hyperparameters (config/main.yaml:47-49)
+  so the aggregator can parse params back out of result paths.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import dataclasses
+from dataclasses import field
+from pathlib import Path
+from typing import Any
+
+from ..compressors.compressor import (CompressorConfig, EncoderConfig,
+                                      LossConfig, OnlineEvalConfig)
+from ..compressors.distortions import DistortionConfig
+from ..compressors.rates import RateConfig
+from ..pipeline.predictor import PredictorConfig
+from ..train.state import OptimConfig
+
+
+@dataclasses.dataclass
+class DataConfig:
+    name: str = "banana"
+    batch_size: int = 1024
+    val_batch_size: int = 2048
+    n_epochs: int = 10
+    kwargs: dict = field(default_factory=dict)   # forwarded to the dataset
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    seed: int = 123
+    log_every: int = 100
+    ckpt_every_epochs: int = 1
+    monitor: str = "loss"
+    monitor_mode: str = "min"
+    limit_train_batches: float = 1.0   # dev-mode caps (config/mode/dev.yaml)
+    limit_eval_batches: float = 1.0
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    experiment: str = "dev"
+    stage: str = "featurizer"
+    out_dir: str = "results"
+    ckpt_dir: str = "checkpoints"
+    is_only_feat: bool = False
+    is_skip_comm: bool = False
+
+    data_feat: DataConfig = field(default_factory=DataConfig)
+    data_pred: DataConfig | None = None          # defaults to data_feat
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    rate: RateConfig = field(default_factory=RateConfig)
+    distortion: DistortionConfig = field(default_factory=DistortionConfig)
+    online: OnlineEvalConfig = field(default_factory=OnlineEvalConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+
+    optimizer_feat: OptimConfig = field(
+        default_factory=lambda: OptimConfig(lr=3e-4))
+    optimizer_coder: OptimConfig = field(
+        default_factory=lambda: OptimConfig(lr=3e-4))
+    optimizer_online: OptimConfig = field(
+        default_factory=lambda: OptimConfig(lr=1e-3))
+
+    predictor: PredictorConfig = field(default_factory=PredictorConfig)
+
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+
+    # filled from the dataset at runtime (main.py:346-373)
+    in_shape: Any = None
+    target_shape: Any = None
+    aux_shape: Any = None
+
+    def compressor_config(self) -> CompressorConfig:
+        return CompressorConfig(
+            encoder=self.encoder, rate=self.rate, distortion=self.distortion,
+            online=self.online, loss=self.loss, in_shape=self.in_shape,
+            target_shape=self.target_shape, aux_shape=self.aux_shape)
+
+    @property
+    def long_name(self) -> str:
+        """Path segment encoding the config (config/main.yaml:47-49 scheme)."""
+        return "/".join([
+            f"exp_{self.experiment}",
+            f"datafeat_{self.data_feat.name}",
+            f"dist_{self.distortion.mode}",
+            f"enc_{self.encoder.arch}",
+            f"rate_{self.rate.mode}",
+            f"zdim_{self.encoder.z_dim}",
+            f"beta_{self.loss.beta:.1e}",
+            f"seed_{self.trainer.seed}",
+        ])
+
+    @property
+    def stage_dir(self) -> Path:
+        return Path(self.out_dir) / self.long_name
+
+
+# ---------------------------------------------------------------------------
+# Overrides
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: str):
+    try:
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        return value
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: list[str]) -> ExperimentConfig:
+    """Apply `a.b.c=value` assignments; frozen dataclasses are rebuilt."""
+    cfg = copy.deepcopy(cfg)
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, value = ov.split("=", 1)
+        parts = key.split(".")
+        _set_path(cfg, parts, _coerce(value))
+    return cfg
+
+
+def _set_path(obj, parts: list[str], value):
+    head, rest = parts[0], parts[1:]
+    if not rest:
+        _set_attr(obj, head, value)
+        return
+    child = _get_attr(obj, head)
+    if dataclasses.is_dataclass(child) and _is_frozen(child):
+        # rebuild the frozen child with the nested assignment applied
+        _set_attr(obj, head, _rebuild_frozen(child, rest, value))
+    else:
+        _set_path(child, rest, value)
+
+
+def _rebuild_frozen(child, parts, value):
+    kw = {f.name: getattr(child, f.name) for f in dataclasses.fields(child)}
+    head, rest = parts[0], parts[1:]
+    if not rest:
+        if head not in kw:
+            raise AttributeError(
+                f"{type(child).__name__} has no field {head!r}")
+        kw[head] = value
+    else:
+        inner = kw[head]
+        if dataclasses.is_dataclass(inner) and _is_frozen(inner):
+            kw[head] = _rebuild_frozen(inner, rest, value)
+        elif isinstance(inner, dict):
+            inner = dict(inner)
+            _set_dict_path(inner, rest, value)
+            kw[head] = inner
+        else:
+            _set_path(inner, rest, value)
+    return type(child)(**kw)
+
+
+def _set_dict_path(d: dict, parts, value):
+    if len(parts) == 1:
+        d[parts[0]] = value
+    else:
+        _set_dict_path(d.setdefault(parts[0], {}), parts[1:], value)
+
+
+def _is_frozen(obj) -> bool:
+    return getattr(type(obj), "__dataclass_params__").frozen
+
+
+def _get_attr(obj, name):
+    if isinstance(obj, dict):
+        return obj[name]
+    if not hasattr(obj, name):
+        raise AttributeError(f"{type(obj).__name__} has no field {name!r}")
+    return getattr(obj, name)
+
+
+def _set_attr(obj, name, value):
+    if isinstance(obj, dict):
+        obj[name] = value
+        return
+    if not hasattr(obj, name):
+        raise AttributeError(f"{type(obj).__name__} has no field {name!r}")
+    if dataclasses.is_dataclass(obj) and _is_frozen(obj):
+        raise AttributeError(
+            f"cannot set {name} on frozen {type(obj).__name__} directly")
+    setattr(obj, name, value)
+
+
+# ---------------------------------------------------------------------------
+# Presets (the reference's experiment groups, bin/*/*.sh + config groups)
+# ---------------------------------------------------------------------------
+
+
+def preset(name: str) -> ExperimentConfig:
+    if name in ("banana_viz_VIC", "banana_vic"):
+        # bin/banana/banana_viz_VIC.sh
+        return ExperimentConfig(
+            experiment="banana_viz_VIC",
+            data_feat=DataConfig(name="banana", batch_size=1024, n_epochs=50,
+                                 kwargs=dict(additional_target="representative")),
+            encoder=EncoderConfig(
+                arch="mlp", z_dim=2, family="deterministic",
+                arch_kwargs=dict(hid_dim=1024, n_hid_layers=2,
+                                 norm_layer="batchnorm",
+                                 activation="quickgelu")),
+            rate=RateConfig(mode="H_factorized"),
+            distortion=DistortionConfig(
+                mode="direct", data_mode="distribution",
+                is_classification=False,
+                arch_kwargs=dict(hid_dim=1024, n_hid_layers=2,
+                                 norm_layer="batchnorm",
+                                 activation="quickgelu")),
+            online=OnlineEvalConfig(is_online=True, is_classification=False,
+                                    arch_kwargs=dict(hid_dim=512)),
+            loss=LossConfig(beta=0.07, beta_anneal="constant"),
+            predictor=PredictorConfig(is_classification=False),
+        )
+    if name in ("banana_viz_VAE", "banana_vae"):
+        cfg = preset("banana_viz_VIC")
+        cfg.experiment = "banana_viz_VAE"
+        cfg.data_feat.kwargs["additional_target"] = "input"
+        cfg.loss = dataclasses.replace(cfg.loss, factor_beta_dist=2.0)
+        return cfg
+    if name in ("mnist_vic", "augmnist_viz_VIC"):
+        # bin/mnist experiments: H_hyper z=128 beta=0.1 on augmented MNIST
+        return ExperimentConfig(
+            experiment="augmnist_viz_VIC",
+            data_feat=DataConfig(name="mnist", batch_size=256, n_epochs=20,
+                                 kwargs=dict(additional_target="representative")),
+            encoder=EncoderConfig(arch="cnn", z_dim=128,
+                                  arch_kwargs=dict(hid_dim=32)),
+            rate=RateConfig(mode="H_hyper"),
+            distortion=DistortionConfig(mode="direct", data_mode="image",
+                                        arch_kwargs=dict(hid_dim=32)),
+            online=OnlineEvalConfig(is_online=True, is_classification=True,
+                                    arch_kwargs=dict(hid_dim=512)),
+            loss=LossConfig(beta=0.1),
+        )
+    if name in ("stl10_bince",):
+        return ExperimentConfig(
+            experiment="stl10_bince",
+            data_feat=DataConfig(name="stl10", batch_size=256, n_epochs=20,
+                                 kwargs=dict(additional_target="equiv_x")),
+            encoder=EncoderConfig(arch="resnet", z_dim=128),
+            rate=RateConfig(mode="H_factorized"),
+            distortion=DistortionConfig(mode="contrastive", project_dim=128),
+            online=OnlineEvalConfig(is_online=True,
+                                    arch_kwargs=dict(hid_dim=512)),
+            loss=LossConfig(beta=0.01),
+        )
+    if name in ("clip_lossyZ", "clip_bottleneck"):
+        # bottleneck_clip_lossyZ: frozen CLIP + factorized EB on features
+        return ExperimentConfig(
+            experiment="clip_lossyZ",
+            data_feat=DataConfig(name="stl10", batch_size=128, n_epochs=10,
+                                 kwargs=dict(additional_target="target")),
+            encoder=EncoderConfig(arch="clip", z_dim=512),
+            rate=RateConfig(mode="H_factorized",
+                            eb_filters=(3, 3, 3, 3), is_endToEnd=False),
+            distortion=DistortionConfig(mode="lossy_Z"),
+            online=OnlineEvalConfig(is_online=True,
+                                    arch_kwargs=dict(hid_dim=512)),
+            loss=LossConfig(beta=0.05),
+        )
+    raise ValueError(f"unknown preset {name!r}")

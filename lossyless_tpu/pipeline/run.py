@@ -1,0 +1,268 @@
+"""3-stage experiment pipeline: featurizer -> communication -> predictor.
+
+TPU-native equivalent of `/root/reference/main.py:88-234`:
+
+* **featurizer** — train the compressor (jit'd fused step, DP mesh), keep the
+  best-by-val-loss checkpoint, evaluate, write `results_featurizer.csv`.
+* **communication** — build real CDF tables from the learned density
+  (`prepare_compressor_`, main.py's rate-only test pass) and measure actual
+  coded bits + coder timings; `results_communication.csv`.
+* **predictor** — featurize the datasets through the frozen compressor and
+  train the downstream probe; `results_predictor.csv`.
+
+Preemption-safe: per-stage sentinels skip completed stages; `last`
+checkpoints resume mid-stage (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compressors.compressor import LearnableCompressor
+from ..compressors.rates import FactorizedCoder, lossless_bits
+from ..core.math import LOG2
+from ..data.banana import BananaDataset
+from ..data.images import ImageDataset, get_datamodule
+from ..pipeline.config import ExperimentConfig
+from ..pipeline.predictor import PredictorTrainer, featurize_dataset
+from ..train.checkpoints import (CheckpointManager, is_stage_done,
+                                 mark_stage_done, save_weights)
+from ..train.metrics import (CsvLogger, MetricAccumulator, namespaced,
+                             write_results_csv)
+from ..train.state import TrainState, train_step
+
+
+def instantiate_datamodule(cfg: ExperimentConfig, data_cfg, split="train"):
+    """Build dataset + write its shapes back into cfg (main.py:333-375)."""
+    kwargs = dict(data_cfg.kwargs)
+    if data_cfg.name == "banana":
+        ds = BananaDataset(**kwargs)
+        cfg.in_shape = (2,)
+        cfg.target_shape = 1
+        at = kwargs.get("additional_target", "representative")
+        cfg.aux_shape = 1 if at == "target" else 2
+    else:
+        ds = ImageDataset(name=data_cfg.name, split=split, **kwargs)
+        cfg.in_shape = ds.spec.shape
+        cfg.target_shape = ds.spec.n_classes
+        at = kwargs.get("additional_target", "representative")
+        cfg.aux_shape = (ds.spec.shape if at in
+                         ("input", "representative", "equiv_x")
+                         else ds.spec.n_classes)
+    return ds
+
+
+def _val_dataset(cfg: ExperimentConfig, data_cfg):
+    kwargs = dict(data_cfg.kwargs)
+    if data_cfg.name == "banana":
+        kwargs.setdefault("length", 20480)
+        kwargs["seed"] = cfg.trainer.seed + 1
+        return BananaDataset(**kwargs)
+    return ImageDataset(name=data_cfg.name, split="test", is_augment=False,
+                        **kwargs)
+
+
+def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
+              extra_logs: dict | None = None) -> dict:
+    from ..train.state import eval_step
+
+    acc = MetricAccumulator()
+    limit = cfg.trainer.limit_eval_batches
+    batches = list(dataset.batches(batch_size, n_epochs=1,
+                                   seed=cfg.trainer.seed))
+    n_keep = max(1, int(len(batches) * limit))
+    for i, b in enumerate(batches[:n_keep]):
+        _, logs = eval_step(state, b, jax.random.key(1000 + i))
+        acc.update(logs, weight=len(b[0]))
+    metrics = acc.means()
+    if extra_logs:
+        metrics.update(extra_logs)
+    return namespaced(metrics, "test", stage)
+
+
+def run_featurizer(cfg: ExperimentConfig):
+    stage_dir = cfg.stage_dir
+    train_ds = instantiate_datamodule(cfg, cfg.data_feat)
+    model = LearnableCompressor(cfg.compressor_config())
+
+    bsz = cfg.data_feat.batch_size
+    sample = next(train_ds.batches(min(bsz, len(train_ds)),
+                                   seed=cfg.trainer.seed))
+    state = TrainState.create(model, sample, jax.random.key(cfg.trainer.seed),
+                              main=cfg.optimizer_feat,
+                              online=cfg.optimizer_online,
+                              coder=cfg.optimizer_coder)
+
+    ckpt = CheckpointManager(Path(cfg.ckpt_dir) / cfg.long_name / "feat",
+                             monitor=cfg.trainer.monitor,
+                             mode=cfg.trainer.monitor_mode)
+    restored = ckpt.restore(jax.device_get(state), "last") if ckpt.has_last \
+        else None
+    if restored is not None:
+        state = restored
+
+    logger = CsvLogger(stage_dir, "train_featurizer")
+    val_ds = _val_dataset(cfg, cfg.data_feat)
+    limit = cfg.trainer.limit_train_batches
+
+    steps_per_epoch = max(1, int((len(train_ds) // bsz) * limit))
+    start_epoch = int(state.step) // steps_per_epoch
+
+    for epoch in range(start_epoch, cfg.data_feat.n_epochs):
+        it = train_ds.batches(bsz, n_epochs=1, seed=cfg.trainer.seed + epoch)
+        for i, batch in enumerate(it):
+            if i >= steps_per_epoch:
+                break
+            state, logs = train_step(
+                state, batch, jax.random.key(int(state.step)))
+            if cfg.trainer.log_every and int(state.step) % cfg.trainer.log_every == 0:
+                logger.log(int(state.step),
+                           namespaced(logs, "train", "feat"))
+
+        # epoch-end validation + checkpointing
+        acc = MetricAccumulator()
+        from ..train.state import eval_step
+        vb = list(val_ds.batches(cfg.data_feat.val_batch_size, n_epochs=1,
+                                 seed=cfg.trainer.seed))
+        for j, b in enumerate(vb[:max(1, int(len(vb) * cfg.trainer.limit_eval_batches))]):
+            _, vlogs = eval_step(state, b, jax.random.key(2000 + j))
+            acc.update(vlogs, weight=len(b[0]))
+        val = acc.means()
+        logger.log(int(state.step), namespaced(val, "val", "feat"))
+        host_state = jax.device_get(state)
+        if (epoch + 1) % cfg.trainer.ckpt_every_epochs == 0:
+            ckpt.save_last(host_state, int(state.step))
+        monitor_val = val.get(cfg.trainer.monitor, val.get("loss", 0.0))
+        ckpt.maybe_save_best(host_state, int(state.step), monitor_val)
+
+    # restore best weights, export weights-only (main.py:516-528)
+    best = ckpt.restore(jax.device_get(state), "best")
+    if best is not None:
+        state = best
+    save_weights(Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer",
+                 state.params)
+
+    metrics = _evaluate(model, state, val_ds, cfg, "feat",
+                        cfg.data_feat.val_batch_size)
+    write_results_csv(stage_dir, "featurizer", metrics)
+    mark_stage_done(stage_dir, "featurizer")
+    return model, state, train_ds, val_ds, metrics
+
+
+def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
+    """Real entropy coding measurements (the reference's 'comm' test stage)."""
+    stage_dir = cfg.stage_dir
+    metrics = {}
+    params = jax.device_get(state.params)
+
+    if cfg.rate.mode in ("H_factorized",):
+        coder = FactorizedCoder({
+            "affine": params["rate_estimator"]["affine"],
+            "entropy_bottleneck": params["rate_estimator"]["entropy_bottleneck"],
+        })
+        # encode the eval set through the *encoder* then the real coder
+        n, total_bytes = 0, 0
+        t_comp, t_dec = 0.0, 0.0
+        for x, y, aux in val_ds.batches(cfg.data_feat.val_batch_size,
+                                        n_epochs=1, seed=cfg.trainer.seed):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            z = np.asarray(model.apply(variables, x,
+                                       method=lambda m, x: m.p_ZlX(x).mean))
+            t0 = time.time()
+            streams = coder.compress(z)
+            t_comp += time.time() - t0
+            t0 = time.time()
+            coder.decompress(streams)
+            t_dec += time.time() - t0
+            total_bytes += sum(len(s) for s in streams)
+            n += len(z)
+        metrics = {
+            "n_bits": 8 * total_bytes / n,
+            "compress_time": t_comp / n,
+            "receiver_time": t_dec / n,
+            "sender_time": t_comp / n,
+        }
+    elif cfg.rate.mode == "lossless":
+        zs = []
+        for x, y, aux in val_ds.batches(cfg.data_feat.val_batch_size,
+                                        n_epochs=1, seed=cfg.trainer.seed):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            zs.append(np.asarray(model.apply(
+                variables, x, method=lambda m, x: m.p_ZlX(x).mean)))
+        metrics = {"n_bits": lossless_bits(np.concatenate(zs))}
+
+    metrics = namespaced(metrics, "test", "comm")
+    write_results_csv(stage_dir, "communication", metrics)
+    mark_stage_done(stage_dir, "communication")
+    return metrics
+
+
+def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict:
+    stage_dir = cfg.stage_dir
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    feat_fn = jax.jit(lambda x: model.apply(variables, x, method="features"))
+
+    data_cfg = cfg.data_pred or cfg.data_feat
+    z_tr, y_tr = featurize_dataset(
+        feat_fn, train_ds.batches(data_cfg.batch_size, n_epochs=1,
+                                  seed=cfg.trainer.seed))
+    z_te, y_te = featurize_dataset(
+        feat_fn, val_ds.batches(data_cfg.batch_size, n_epochs=1,
+                                seed=cfg.trainer.seed))
+
+    trainer = PredictorTrainer(cfg.predictor, z_tr.shape[-1],
+                               cfg.target_shape)
+    trainer.fit(z_tr, y_tr, seed=cfg.trainer.seed)
+    metrics = namespaced(trainer.evaluate(z_te, y_te), "test", "pred")
+    write_results_csv(stage_dir, "predictor", metrics)
+    mark_stage_done(stage_dir, "predictor")
+    return metrics
+
+
+def main(cfg: ExperimentConfig) -> dict:
+    """Full pipeline with stage skipping (main.py:88-234)."""
+    stage_dir = cfg.stage_dir
+    all_metrics = {}
+
+    model = state = train_ds = val_ds = None
+    if not is_stage_done(stage_dir, "featurizer"):
+        model, state, train_ds, val_ds, m = run_featurizer(cfg)
+        all_metrics.update(m)
+    else:
+        # rebuild from saved weights for downstream stages
+        train_ds = instantiate_datamodule(cfg, cfg.data_feat)
+        val_ds = _val_dataset(cfg, cfg.data_feat)
+        model = LearnableCompressor(cfg.compressor_config())
+        sample = next(train_ds.batches(
+            min(cfg.data_feat.batch_size, len(train_ds)),
+            seed=cfg.trainer.seed))
+        state = TrainState.create(model, sample,
+                                  jax.random.key(cfg.trainer.seed),
+                                  main=cfg.optimizer_feat)
+        from ..train.checkpoints import load_weights
+        params = load_weights(
+            Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer",
+            jax.device_get(state.params))
+        state = state.replace(params=params)
+
+    if not cfg.is_skip_comm and not is_stage_done(stage_dir, "communication"):
+        all_metrics.update(run_communication(cfg, model, state, val_ds))
+
+    if not cfg.is_only_feat and not is_stage_done(stage_dir, "predictor"):
+        all_metrics.update(run_predictor(cfg, model, state, train_ds, val_ds))
+
+    return all_metrics

@@ -1,0 +1,116 @@
+"""Checkpointing, preemption-safe resume, and stage sentinels.
+
+Mirrors the reference's outer-layer resume design (SURVEY.md §5.3;
+`/root/reference/main.py:314-328,465-468,516-535,628-670`):
+
+* `last` checkpoint auto-saved each epoch; training resumes from it.
+* best-by-monitor checkpoint kept (save_top_k=1 semantics).
+* stage sentinels `{stage}_end.txt`: a finished stage is skipped on restart.
+* weights-only export `best_{stage}` for the next stage.
+
+Storage is orbax (async-capable); metadata (step, monitor value) rides along.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str | Path, monitor: str = "loss",
+                 mode: str = "min"):
+        self.dir = Path(ckpt_dir).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self._ckptr = ocp.StandardCheckpointer()
+        self._meta_path = self.dir / "meta.json"
+
+    # -- meta ----------------------------------------------------------------
+
+    def _load_meta(self) -> dict:
+        if self._meta_path.exists():
+            return json.loads(self._meta_path.read_text())
+        return {"best_value": None, "last_step": None}
+
+    def _save_meta(self, meta: dict):
+        self._meta_path.write_text(json.dumps(meta))
+
+    # -- save / restore ------------------------------------------------------
+
+    def save_last(self, state, step: int):
+        path = self.dir / "last"
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        meta = self._load_meta()
+        meta["last_step"] = int(step)
+        self._save_meta(meta)
+
+    def maybe_save_best(self, state, step: int, value: float) -> bool:
+        """Keep exactly one best checkpoint (utils/helpers.py:312-320)."""
+        meta = self._load_meta()
+        best = meta.get("best_value")
+        better = (best is None or
+                  (value < best if self.mode == "min" else value > best))
+        if better:
+            path = self.dir / "best"
+            if path.exists():
+                shutil.rmtree(path)
+            self._ckptr.save(path, state)
+            self._ckptr.wait_until_finished()
+            meta["best_value"] = float(value)
+            meta["best_step"] = int(step)
+            self._save_meta(meta)
+        return better
+
+    def restore(self, target, which: str = "last"):
+        path = self.dir / which
+        if not path.exists():
+            return None
+        return self._ckptr.restore(path, target)
+
+    @property
+    def has_last(self) -> bool:
+        return (self.dir / "last").exists()
+
+    @property
+    def best_value(self):
+        return self._load_meta().get("best_value")
+
+
+# -- stage sentinels ---------------------------------------------------------
+
+
+def stage_sentinel(out_dir: str | Path, stage: str) -> Path:
+    return Path(out_dir) / f"{stage}_end.txt"
+
+
+def is_stage_done(out_dir: str | Path, stage: str) -> bool:
+    return stage_sentinel(out_dir, stage).exists()
+
+
+def mark_stage_done(out_dir: str | Path, stage: str):
+    p = stage_sentinel(out_dir, stage)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text("done\n")
+
+
+def save_weights(path: str | Path, params: Any):
+    """Weights-only export for the next stage (main.py:516-528)."""
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    ocp.StandardCheckpointer().save(path, jax.device_get(params))
+
+
+def load_weights(path: str | Path, target: Any):
+    return ocp.StandardCheckpointer().restore(Path(path).absolute(), target)

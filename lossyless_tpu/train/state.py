@@ -120,6 +120,35 @@ class TrainState(flax.struct.PyTreeNode):
 @partial(jax.jit, donate_argnums=(0,))
 def train_step(state: TrainState, batch, rng):
     """One fused RD + online + coder update."""
+    return _train_step_inner(state, batch, rng)
+
+
+def make_generative_epoch(sample_fn, n_steps: int):
+    """Fuse data generation + n_steps updates into ONE jitted scan.
+
+    `sample_fn(key) -> batch` generates a batch on device (e.g.
+    `data.banana.device_sample_batch`). For generative/in-memory sources
+    this removes all host->device traffic and per-step dispatch latency —
+    the whole epoch is a single XLA program (SURVEY.md §5.7 dataset-axis
+    scaling applied to training).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: TrainState, rng):
+        def body(state, key):
+            k_data, k_step = jax.random.split(key)
+            batch = sample_fn(k_data)
+            state, logs = _train_step_inner(state, batch, k_step)
+            return state, logs
+        keys = jax.random.split(rng, n_steps)
+        state, logs = jax.lax.scan(body, state, keys)
+        last = jax.tree.map(lambda x: x[-1], logs)
+        return state, last
+
+    return epoch
+
+
+def _train_step_inner(state: TrainState, batch, rng):
     x, y, aux = batch
 
     def loss_fn(params):

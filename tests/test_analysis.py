@@ -1,0 +1,89 @@
+"""Classical codecs, aggregation, linear eval, visualization smoke tests."""
+
+import numpy as np
+import pytest
+
+from lossyless_tpu.compressors.classical import ClassicalCompressor
+from lossyless_tpu.analysis.aggregate import (collect_data, is_pareto_optimal,
+                                              merge_tables, path_to_params,
+                                              summarize_metrics)
+from lossyless_tpu.analysis.linear_eval import z_linear_eval
+
+
+@pytest.mark.parametrize("mode", ["jpeg", "webp", "png", "identity"])
+def test_classical_codecs(mode):
+    # smooth gradient images (noise is degenerate for transform codecs)
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    base = ((yy + xx) * 255 / 62).astype(np.uint8)
+    x = np.stack([np.stack([np.roll(base, i), base, base.T], -1)
+                  for i in range(4)])
+    comp = ClassicalCompressor(mode=mode)
+    x_hat, logs = comp.batch_run(x)
+    assert x_hat.shape == x.shape
+    assert logs["n_bits"] > 0
+    if mode in ("png", "identity"):  # lossless
+        np.testing.assert_array_equal(x_hat, x)
+        assert logs["mse"] == 0
+    else:
+        assert logs["psnr"] > 20
+
+
+def test_aggregator_roundtrip(tmp_path):
+    from lossyless_tpu.train.metrics import write_results_csv
+
+    for seed in (1, 2):
+        d = (tmp_path / "exp_demo" / "datafeat_banana" / "dist_VIC"
+             / f"beta_1.0e-01" / f"seed_{seed}")
+        write_results_csv(d, "featurizer",
+                          {"test/feat/rate": 5.0 + seed,
+                           "test/feat/distortion": 0.1})
+        write_results_csv(d, "predictor", {"test/pred/err": 0.02 * seed})
+
+    df = collect_data(tmp_path)
+    assert len(df) == 4
+    assert set(df["stage"]) == {"featurizer", "predictor"}
+    assert (df["datafeat"] == "banana").all()
+
+    merged = merge_tables(df)
+    assert len(merged) == 2
+    assert "test/feat/rate" in merged and "test/pred/err" in merged
+
+    summary = summarize_metrics(merged, group_by=["datafeat", "dist"])
+    assert summary["test/feat/rate_mean"].iloc[0] == pytest.approx(6.5)
+
+
+def test_pareto():
+    pts = np.array([[1, 5], [2, 3], [3, 4], [4, 1], [5, 2]])
+    mask = is_pareto_optimal(pts)
+    np.testing.assert_array_equal(mask, [True, True, False, True, False])
+
+
+def test_linear_eval_separable():
+    rng = np.random.default_rng(0)
+    n = 400
+    y = rng.integers(0, 2, n)
+    z = rng.normal(0, 0.3, (n, 8)) + y[:, None] * 2.0
+    res = z_linear_eval(z[:300], y[:300], z[300:], y[300:], fixed_C=0.01)
+    assert res["acc"] > 0.95
+
+
+def test_visualizations(tmp_path):
+    from lossyless_tpu.analysis.visualize import (codebook_plot,
+                                                  maxinv_distribution_plot,
+                                                  plot_reconstructions)
+    from lossyless_tpu.data.banana import BananaDataset
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (8, 16, 16, 1))
+    p = plot_reconstructions(x, x + 0.01, tmp_path / "rec.png")
+    assert p.exists() if hasattr(p, "exists") else True
+
+    # quantizer that rounds to a 1-unit grid; decode = identity
+    out = codebook_plot(lambda pts: np.round(pts), lambda z: z,
+                        tmp_path / "codebook.png", n_grid=60)
+    assert (tmp_path / "codebook.png").exists()
+
+    ds = BananaDataset(length=2048)
+    maxinv_distribution_plot(ds.data, ds.max_invariant,
+                             tmp_path / "maxinv.png")
+    assert (tmp_path / "maxinv.png").exists()

@@ -1,0 +1,61 @@
+"""3-stage pipeline smoke test (the bin/test.sh equivalent, SURVEY.md §4)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def test_banana_pipeline_dev(tmp_path):
+    from lossyless_tpu.cli import main
+
+    metrics = main([
+        "banana_viz_VIC", "data_feat.n_epochs=1",
+        "data_feat.kwargs.length=4096", "predictor.n_epochs=2",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ])
+    assert np.isfinite(metrics["test/feat/loss"])
+    assert np.isfinite(metrics["test/feat/rate"])
+    assert "test/comm/n_bits" in metrics
+    assert "test/pred/loss" in metrics
+
+    # artifacts: stage sentinels + per-stage CSVs + weights export
+    out = list(Path(tmp_path, "results").rglob("*"))
+    names = {p.name for p in out}
+    assert {"featurizer_end.txt", "communication_end.txt",
+            "predictor_end.txt"} <= names
+    assert {"results_featurizer.csv", "results_communication.csv",
+            "results_predictor.csv"} <= names
+
+    # stage skipping on re-run: completed stages are not re-trained
+    metrics2 = main([
+        "banana_viz_VIC", "data_feat.n_epochs=1",
+        "data_feat.kwargs.length=4096",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ])
+    assert metrics2 == {}  # everything skipped
+
+
+def test_overrides_and_presets():
+    from lossyless_tpu.pipeline.config import (ExperimentConfig,
+                                               apply_overrides, preset)
+
+    cfg = preset("banana_viz_VIC")
+    cfg = apply_overrides(cfg, [
+        "encoder.z_dim=7", "loss.beta=0.5", "rate.mode=H_hyper",
+        "data_feat.batch_size=64", "trainer.seed=7",
+        "data_feat.kwargs.equivalence=rotation",
+    ])
+    assert cfg.encoder.z_dim == 7
+    assert cfg.loss.beta == 0.5
+    assert cfg.rate.mode == "H_hyper"
+    assert cfg.data_feat.batch_size == 64
+    assert cfg.data_feat.kwargs["equivalence"] == "rotation"
+
+    with pytest.raises(AttributeError):
+        apply_overrides(cfg, ["encoder.not_a_field=1"])
+
+    # long_name encodes the config for the aggregator
+    assert "beta_5.0e-01" in cfg.long_name
+    assert "rate_H_hyper" in cfg.long_name
