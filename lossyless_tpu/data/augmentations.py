@@ -178,16 +178,6 @@ def random_erasing(key, batch, value=0.5, scale=(0.02, 0.33), p=0.5):
 
 
 _REGISTRY: dict[str, Callable] = {
-    "rotation": partial(random_rotation, degrees=45.0),
-    "rotation--": partial(random_rotation, degrees=15.0),
-    "y_translation": partial(random_translation, axis=1, frac=0.25),
-    "y_translation--": partial(random_translation, axis=1, frac=0.15),
-    "x_translation": partial(random_translation, axis=0, frac=0.25),
-    "x_translation--": partial(random_translation, axis=0, frac=0.15),
-    "shear": partial(random_shear, shear=25.0),
-    "shear--": partial(random_shear, shear=15.0),
-    "scale": partial(random_scale, scale=(0.6, 1.4)),
-    "scale--": partial(random_scale, scale=(0.8, 1.2)),
     "hflip": random_hflip,
     "vflip": random_vflip,
     "D4_group": d4_group,
@@ -197,10 +187,51 @@ _REGISTRY: dict[str, Callable] = {
     "erasing": random_erasing,
 }
 
+# affine-family augmentations: (degrees, translate, scale, shear) parameter
+# ranges. These COMPOSE into a single warp (one gather pass) instead of
+# chaining map_coordinates per augmentation — crucial for TPU compile time
+# and runtime when the augmenter sits inside a fused training scan.
+_AFFINE_PARAMS = {
+    "rotation": dict(degrees=45.0),
+    "rotation--": dict(degrees=15.0),
+    "y_translation": dict(translate=(0.0, 0.25)),
+    "y_translation--": dict(translate=(0.0, 0.15)),
+    "x_translation": dict(translate=(0.25, 0.0)),
+    "x_translation--": dict(translate=(0.15, 0.0)),
+    "shear": dict(shear=25.0),
+    "shear--": dict(shear=15.0),
+    "scale": dict(scale=(0.6, 1.4)),
+    "scale--": dict(scale=(0.8, 1.2)),
+}
+
+
+def _merged_affine(names):
+    degrees, shear = 0.0, 0.0
+    tx, ty = 0.0, 0.0
+    scale = (1.0, 1.0)
+    for n in names:
+        p = _AFFINE_PARAMS[n]
+        degrees = max(degrees, p.get("degrees", 0.0))
+        shear = max(shear, p.get("shear", 0.0))
+        t = p.get("translate", (0.0, 0.0))
+        tx, ty = max(tx, t[0]), max(ty, t[1])
+        if "scale" in p:
+            scale = p["scale"]
+    return partial(_rand_affine, degrees=degrees, translate=(tx, ty),
+                   scale=scale, shear=shear)
+
 
 def make_augmenter(equivalence: Sequence[str]):
-    """Compose the named augmentations into one jittable (key, batch) fn."""
-    fns = [_REGISTRY[name] for name in equivalence]
+    """Compose the named augmentations into one jittable (key, batch) fn.
+
+    All affine-family members fuse into a single random-affine warp; the
+    remaining augmentations chain after it.
+    """
+    affine_names = [n for n in equivalence if n in _AFFINE_PARAMS]
+    fns = []
+    if affine_names:
+        fns.append(_merged_affine(affine_names))
+    fns.extend(_REGISTRY[n] for n in equivalence if n not in _AFFINE_PARAMS)
 
     def augment(key, batch):
         keys = jax.random.split(key, max(1, len(fns)))
@@ -212,4 +243,4 @@ def make_augmenter(equivalence: Sequence[str]):
 
 
 def available_augmentations():
-    return sorted(_REGISTRY)
+    return sorted(set(_REGISTRY) | set(_AFFINE_PARAMS))

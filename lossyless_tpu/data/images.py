@@ -250,6 +250,43 @@ class ImageDataset:
                 yield x, jnp.asarray(y), aux
 
 
+    def device_sampler(self, batch_size: int):
+        """Return sample_fn(key) -> (x, y, aux) computed fully on device.
+
+        Stages the uint8 data + labels in HBM once; each call draws a random
+        batch, augments it, and builds the aux target — all inside the same
+        XLA program as the train step when used with
+        `train.state.make_generative_epoch` (no host->device traffic).
+        """
+        data = jnp.asarray(self.data)
+        targets = jnp.asarray(self.targets)
+        n = len(self)
+        augment = make_augmenter(self.equivalence) if self.equivalence else None
+        at = self.additional_target
+        mean = jnp.asarray(MEANS[self.name]) if self.is_normalize else None
+        std = jnp.asarray(STDS[self.name]) if self.is_normalize else None
+
+        def sample(key):
+            k_idx, k_aug, k_aux = jax.random.split(key, 3)
+            idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+            raw = data[idx].astype(jnp.float32) / 255.0
+            y = targets[idx]
+            x = augment(k_aug, raw) if (augment and self.is_augment) else raw
+            if at == "input":
+                aux = x
+            elif at == "representative":
+                aux = raw
+            elif at == "equiv_x":
+                aux = augment(k_aux, raw) if augment else raw
+            else:
+                aux = y
+            if mean is not None:
+                x = (x - mean) / std
+            return x, y, aux
+
+        return sample
+
+
 def get_datamodule(name: str, **kwargs):
     """Dataset registry (reference utils/data/__init__.py:5-37)."""
     if name == "banana":

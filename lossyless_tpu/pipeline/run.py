@@ -75,6 +75,7 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
 
     acc = MetricAccumulator()
     limit = cfg.trainer.limit_eval_batches
+    batch_size = min(batch_size, len(dataset))
     batches = list(dataset.batches(batch_size, n_epochs=1,
                                    seed=cfg.trainer.seed))
     n_keep = max(1, int(len(batches) * limit))
@@ -129,8 +130,9 @@ def run_featurizer(cfg: ExperimentConfig):
         # epoch-end validation + checkpointing
         acc = MetricAccumulator()
         from ..train.state import eval_step
-        vb = list(val_ds.batches(cfg.data_feat.val_batch_size, n_epochs=1,
-                                 seed=cfg.trainer.seed))
+        vb = list(val_ds.batches(
+            min(cfg.data_feat.val_batch_size, len(val_ds)), n_epochs=1,
+            seed=cfg.trainer.seed))
         for j, b in enumerate(vb[:max(1, int(len(vb) * cfg.trainer.limit_eval_batches))]):
             _, vlogs = eval_step(state, b, jax.random.key(2000 + j))
             acc.update(vlogs, weight=len(b[0]))

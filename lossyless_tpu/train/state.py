@@ -80,14 +80,29 @@ def _param_label(path) -> str:
 
 
 def make_tx(params, main: OptimConfig, online: OptimConfig | None = None,
-            coder: OptimConfig | None = None) -> optax.GradientTransformation:
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: _param_label(path), params)
+            coder: OptimConfig | None = None,
+            frozen_paths: tuple = ()) -> optax.GradientTransformation:
+    """3-group optimizer (+ optional frozen subtrees).
+
+    `frozen_paths`: path-key names whose subtree gets zero updates — the
+    functional equivalent of the reference's `Freezer` callback
+    (callbacks.py:503-531) used for staggered/finetune training (e.g.
+    `("p_ZlX",)` freezes the encoder).
+    """
+
+    def label(path, _):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if any(k in frozen_paths for k in keys):
+            return "frozen"
+        return _param_label(path)
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
     return optax.multi_transform(
         {
             "main": make_optimizer(main),
             "online": make_optimizer(online or main),
             "coder": make_optimizer(coder or main),
+            "frozen": optax.set_to_zero(),
         },
         labels)
 
@@ -103,7 +118,7 @@ class TrainState(flax.struct.PyTreeNode):
     @classmethod
     def create(cls, model, sample_batch, rng, main: OptimConfig,
                online: OptimConfig | None = None,
-               coder: OptimConfig | None = None):
+               coder: OptimConfig | None = None, frozen_paths: tuple = ()):
         x, y, aux = sample_batch
         init_rng, step_rng = jax.random.split(rng)
         variables = model.init(
@@ -111,7 +126,7 @@ class TrainState(flax.struct.PyTreeNode):
             rng=step_rng)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        tx = make_tx(params, main, online, coder)
+        tx = make_tx(params, main, online, coder, frozen_paths)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=batch_stats, opt_state=tx.init(params),
                    apply_fn=model.apply, tx=tx)
