@@ -46,4 +46,10 @@ def get_architecture(mode: str, in_shape, out_shape, **kwargs):
         return ResNet(out_dim=out_shape, in_shape=tuple(in_shape), **kwargs)
     if mode in ("clip", "clip_vit"):
         return VisionTransformer(out_dim=512, **kwargs)
+    if mode in ("clip_rn50", "simclr", "swav"):
+        # pretrained-SSL towers (architectures.py:312-379): ResNet-50
+        # backbone; converted public weights load into the same param tree
+        # when available (this environment has no egress)
+        return ResNet(out_dim=out_shape, in_shape=tuple(in_shape),
+                      base="resnet50", **kwargs)
     raise ValueError(f"unknown architecture mode={mode}")
