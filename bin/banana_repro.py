@@ -66,6 +66,32 @@ def main(mode="VIC", n_epochs=100, batch_size=1024, steps_per_epoch=1000):
           f"distortion={m['distortion']:.4f} "
           f"online_loss={m.get('online_loss', float('nan')):.4f}")
     print(f"reference: rate=4.83 distortion={'0.051' if mode=='VIC' else '0.109'}")
+
+    # artifacts: weights + the paper's codebook / maxinv figures
+    out = Path(f"/tmp/banana_{mode.lower()}_artifacts")
+    out.mkdir(exist_ok=True)
+    from lossyless_tpu.train.checkpoints import save_weights
+    save_weights(out / "best_featurizer", jax.device_get(state.params))
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    featurize = jax.jit(lambda x: model.apply(variables, x, method="features"))
+
+    def decode(z):
+        def fn(m, z):
+            return m.distortion_estimator.reconstruct(z)
+        return np.asarray(model.apply(variables, jnp.asarray(z), method=fn))
+
+    from lossyless_tpu.analysis.visualize import (codebook_plot,
+                                                  maxinv_distribution_plot)
+    codebook_plot(lambda p: np.asarray(featurize(jnp.asarray(p))), decode,
+                  out / "codebook.png", xlim=(-4, 4), ylim=(-4, 4),
+                  n_grid=150)
+    from lossyless_tpu.data.banana import BananaDataset
+    ds = BananaDataset(length=20000)
+    maxinv_distribution_plot(ds.data, ds.max_invariant, out / "maxinv.png")
+    print(f"artifacts -> {out}")
     return state, m
 
 
