@@ -135,7 +135,12 @@ def random_grayscale(key, batch, p=0.2):
 
 
 def random_resized_crop(key, batch, scale=(0.3, 1.0), ratio=(0.7, 1.4)):
-    """Random crop of random area/aspect, resized back (via affine warp)."""
+    """Random crop of random area/aspect, resized back.
+
+    Axis-aligned, so it lowers to `jax.image.scale_and_translate` (separable
+    convolution resampling — MXU/VPU-friendly) instead of gather-based
+    warping; an order of magnitude faster on TPU inside training scans.
+    """
     b, h, w, _ = batch.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
     area = jax.random.uniform(k1, (b,), minval=scale[0], maxval=scale[1])
@@ -144,19 +149,21 @@ def random_resized_crop(key, batch, scale=(0.3, 1.0), ratio=(0.7, 1.4)):
     r = jnp.exp(log_r)
     ch = jnp.sqrt(area / r).clip(max=1.0)  # crop height fraction
     cw = jnp.sqrt(area * r).clip(max=1.0)
-    # random center within valid range (centered coords)
-    max_off_y = (1 - ch) / 2 * h
-    max_off_x = (1 - cw) / 2 * w
-    oy = jax.random.uniform(k3, (b,), minval=-1.0, maxval=1.0) * max_off_y
-    ox = jax.random.uniform(k4, (b,), minval=-1.0, maxval=1.0) * max_off_x
+    # top-left corner of the crop, uniform over the valid range
+    y0 = jax.random.uniform(k3, (b,)) * (1 - ch) * h
+    x0 = jax.random.uniform(k4, (b,)) * (1 - cw) * w
+    # output = resize(crop): out(y) = in(y/zoom + y0) =>
+    # scale_and_translate with zoom = out/in_crop, translation = -y0*zoom
+    zy = h / (ch * h)
+    zx = w / (cw * w)
 
-    m00 = ch
-    m11 = cw
-    zeros = jnp.zeros_like(m00)
-    mats = jnp.stack([jnp.stack([m00, zeros], -1),
-                      jnp.stack([zeros, m11], -1)], 1)
-    offs = jnp.stack([oy, ox], -1)
-    return jax.vmap(_affine_warp)(batch, mats, offs)
+    def one(img, zy, zx, y0, x0):
+        return jax.image.scale_and_translate(
+            img, (h, w, img.shape[-1]), (0, 1),
+            jnp.stack([zy, zx]), jnp.stack([-y0 * zy, -x0 * zx]),
+            method="linear")
+
+    return jax.vmap(one)(batch, zy, zx, y0, x0)
 
 
 def random_erasing(key, batch, value=0.5, scale=(0.02, 0.33), p=0.5):

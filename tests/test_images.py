@@ -1,0 +1,85 @@
+"""Image data layer: contracts, augmentations, device sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lossyless_tpu.data.augmentations import (available_augmentations,
+                                              make_augmenter)
+from lossyless_tpu.data.images import SPECS, ImageDataset, get_datamodule
+
+
+def test_synthetic_fallback_and_contract():
+    ds = ImageDataset(name="mnist", split="train", synthetic=True,
+                      synthetic_n=256, additional_target="representative")
+    assert len(ds) == 256
+    x, y, aux = next(ds.batches(32, seed=0))
+    assert x.shape == (32, 32, 32, 1)
+    assert y.shape == (32,)
+    assert aux.shape == (32, 32, 32, 1)
+    # representative is the un-augmented raw; x is augmented
+    assert not np.allclose(np.asarray(x), np.asarray(aux))
+
+
+@pytest.mark.parametrize("at", ["input", "equiv_x", "target"])
+def test_additional_target_modes(at):
+    ds = ImageDataset(name="cifar10", synthetic=True, synthetic_n=128,
+                      additional_target=at)
+    x, y, aux = next(ds.batches(16, seed=0))
+    if at == "input":
+        np.testing.assert_allclose(np.asarray(aux), np.asarray(x))
+    elif at == "equiv_x":
+        assert aux.shape == x.shape
+        assert not np.allclose(np.asarray(aux), np.asarray(x))
+    else:
+        np.testing.assert_array_equal(np.asarray(aux), np.asarray(y))
+
+
+def test_device_sampler_matches_contract():
+    ds = ImageDataset(name="mnist", synthetic=True, synthetic_n=128,
+                      additional_target="representative")
+    sample = jax.jit(ds.device_sampler(16))
+    x, y, aux = sample(jax.random.key(0))
+    assert x.shape == (16, 32, 32, 1)
+    assert y.dtype == jnp.int64 or y.dtype == jnp.int32
+    # two different keys give different batches
+    x2, _, _ = sample(jax.random.key(1))
+    assert not np.allclose(np.asarray(x), np.asarray(x2))
+
+
+def test_all_augmentations_run():
+    x = jnp.broadcast_to(
+        jnp.linspace(0, 1, 16 * 16).reshape(1, 16, 16, 1), (4, 16, 16, 1)
+    ).astype(jnp.float32)
+    x = jnp.tile(x, (1, 1, 1, 3))
+    for name in available_augmentations():
+        aug = make_augmenter([name])
+        out = jax.jit(aug)(jax.random.key(0), x)
+        assert out.shape == x.shape, name
+        assert np.all(np.isfinite(np.asarray(out))), name
+
+
+def test_affine_fusion_is_single_warp():
+    """Fused affine chain must not stack interpolation blur.
+
+    A rotation by a sampled angle through ONE warp keeps values in range
+    and preserves mean brightness approximately.
+    """
+    aug = make_augmenter(["rotation", "scale", "shear", "x_translation",
+                          "y_translation"])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.4, 0.6, (8, 32, 32, 1)).astype(np.float32))
+    out = jax.jit(aug)(jax.random.key(0), x)
+    assert np.asarray(out).min() >= 0.0  # zero-padded borders only
+    assert np.asarray(out).max() <= 0.6 + 1e-5
+
+
+def test_registry_and_specs():
+    assert set(SPECS) >= {"mnist", "cifar10", "cifar100", "stl10", "galaxy",
+                          "food101", "cars196", "pcam", "pets37",
+                          "caltech101"}
+    ds = get_datamodule("cifar100", synthetic=True, synthetic_n=64)
+    assert ds.spec.n_classes == 100
+    with pytest.raises(ValueError):
+        get_datamodule("nope")
