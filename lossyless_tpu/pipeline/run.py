@@ -164,16 +164,29 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
     metrics = {}
     params = jax.device_get(state.params)
 
-    if cfg.rate.mode in ("H_factorized",):
+    coder = None
+    if cfg.rate.mode == "H_factorized":
         coder = FactorizedCoder({
             "affine": params["rate_estimator"]["affine"],
             "entropy_bottleneck": params["rate_estimator"]["entropy_bottleneck"],
         })
+    elif cfg.rate.mode in ("H_hyper",):
+        from ..compressors.rates import HRateHyperprior, HyperpriorCoder
+
+        hp = HRateHyperprior(cfg.encoder.z_dim, cfg.rate)
+        bs_tree = jax.device_get(state.batch_stats) if state.batch_stats \
+            else {}
+        coder = HyperpriorCoder(hp, params["rate_estimator"],
+                                bs_tree.get("rate_estimator") if bs_tree
+                                else None)
+
+    if coder is not None:
         # encode the eval set through the *encoder* then the real coder
         n, total_bytes = 0, 0
         t_comp, t_dec = 0.0, 0.0
-        for x, y, aux in val_ds.batches(cfg.data_feat.val_batch_size,
-                                        n_epochs=1, seed=cfg.trainer.seed):
+        bs = min(cfg.data_feat.val_batch_size, len(val_ds))
+        for x, y, aux in val_ds.batches(bs, n_epochs=1,
+                                        seed=cfg.trainer.seed):
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -185,7 +198,10 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
             t0 = time.time()
             coder.decompress(streams)
             t_dec += time.time() - t0
-            total_bytes += sum(len(s) for s in streams)
+            if cfg.rate.mode == "H_hyper":
+                total_bytes += sum(len(s) for grp in streams for s in grp)
+            else:
+                total_bytes += sum(len(s) for s in streams)
             n += len(z)
         metrics = {
             "n_bits": 8 * total_bytes / n,
