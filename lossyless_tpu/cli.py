@@ -25,6 +25,14 @@ def main(argv=None):
                         help="dotted overrides key=value")
     parser.add_argument("--dev", action="store_true",
                         help="dev mode: cap epochs/batches (config/mode/dev)")
+    parser.add_argument("--debug", action="store_true",
+                        help="debug mode: jax_debug_nans + single batch "
+                             "(config/mode/debug equivalent)")
+    parser.add_argument("--overfit", action="store_true",
+                        help="overfit mode: train+eval on 10%% of batches "
+                             "(config/mode/overfit)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace to this dir")
     args = parser.parse_args(argv)
 
     from .pipeline.config import ExperimentConfig, apply_overrides, preset
@@ -36,9 +44,19 @@ def main(argv=None):
         cfg.data_feat.n_epochs = min(cfg.data_feat.n_epochs, 2)
         cfg.trainer.limit_train_batches = 0.1
         cfg.trainer.limit_eval_batches = 0.2
+    if args.debug:
+        cfg.data_feat.n_epochs = 1
+        cfg.trainer.limit_train_batches = 0.01
+        cfg.trainer.limit_eval_batches = 0.01
+    if args.overfit:
+        cfg.trainer.limit_train_batches = 0.1
+        cfg.trainer.limit_eval_batches = 0.1
     cfg = apply_overrides(cfg, args.overrides)
 
-    metrics = run_main(cfg)
+    from .core.profiling import debug_mode, profile_trace
+
+    with debug_mode(args.debug), profile_trace(args.profile_dir):
+        metrics = run_main(cfg)
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                       for k, v in metrics.items()}, indent=2))
     return metrics

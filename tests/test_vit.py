@@ -1,0 +1,113 @@
+"""CLIP ViT-B/32: forward shapes, preprocessing, weight-converter layout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lossyless_tpu.nn.vit import (VisionTransformer, clip_preprocess,
+                                  convert_openai_clip_weights, vit_b32)
+
+
+def small_vit():
+    return VisionTransformer(patch_size=32, width=64, layers=2, heads=2,
+                             out_dim=32, dtype=jnp.float32)
+
+
+def test_forward_shapes():
+    m = small_vit()
+    x = jnp.zeros((3, 224, 224, 3))
+    v = m.init(jax.random.key(0), x)
+    z = m.apply(v, x)
+    assert z.shape == (3, 32)
+    assert z.dtype == jnp.float32
+
+
+def test_clip_preprocess():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 300, 260, 3)).astype(np.float32))
+    out = clip_preprocess(x)
+    assert out.shape == (2, 224, 224, 3)
+    # normalized: roughly zero-mean given uniform input
+    assert abs(float(out.mean())) < 2.0
+
+
+def test_weight_converter_layout():
+    """A fake OpenAI-style state dict converts to exactly our param tree."""
+    m = small_vit()
+    x = jnp.zeros((1, 224, 224, 3))
+    ref = m.init(jax.random.key(0), x)["params"]
+
+    w, L, heads, out = 64, 2, 2, 32
+    sd = {
+        "conv1.weight": np.zeros((w, 3, 32, 32), np.float32),  # OIHW
+        "class_embedding": np.zeros((w,), np.float32),
+        "positional_embedding": np.zeros((50, w), np.float32),
+        "ln_pre.weight": np.ones((w,), np.float32),
+        "ln_pre.bias": np.zeros((w,), np.float32),
+        "ln_post.weight": np.ones((w,), np.float32),
+        "ln_post.bias": np.zeros((w,), np.float32),
+        "proj": np.zeros((w, out), np.float32),
+    }
+    for i in range(L):
+        p = f"transformer.resblocks.{i}"
+        sd.update({
+            f"{p}.ln_1.weight": np.ones((w,), np.float32),
+            f"{p}.ln_1.bias": np.zeros((w,), np.float32),
+            f"{p}.ln_2.weight": np.ones((w,), np.float32),
+            f"{p}.ln_2.bias": np.zeros((w,), np.float32),
+            f"{p}.attn.in_proj_weight": np.zeros((3 * w, w), np.float32),
+            f"{p}.attn.in_proj_bias": np.zeros((3 * w,), np.float32),
+            f"{p}.attn.out_proj.weight": np.zeros((w, w), np.float32),
+            f"{p}.attn.out_proj.bias": np.zeros((w,), np.float32),
+            f"{p}.mlp.c_fc.weight": np.zeros((4 * w, w), np.float32),
+            f"{p}.mlp.c_fc.bias": np.zeros((4 * w,), np.float32),
+            f"{p}.mlp.c_proj.weight": np.zeros((w, 4 * w), np.float32),
+            f"{p}.mlp.c_proj.bias": np.zeros((w,), np.float32),
+        })
+
+    converted = convert_openai_clip_weights(sd)
+
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref)
+    conv_shapes = jax.tree.map(lambda a: a.shape, converted)
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_shapes)[0])
+    flat_conv = dict(jax.tree_util.tree_flatten_with_path(conv_shapes)[0])
+    assert flat_ref.keys() == flat_conv.keys()
+    for k in flat_ref:
+        assert flat_ref[k] == flat_conv[k], k
+
+    # converted weights actually run through apply
+    z = m.apply({"params": jax.tree.map(jnp.asarray, converted)}, x)
+    assert z.shape == (1, 32)
+
+
+def test_contrastive_already_featurized():
+    """BINCE with pre-featurized positives (CLIP-caption path)."""
+    from lossyless_tpu.compressors.compressor import (
+        CompressorConfig, EncoderConfig, LearnableCompressor, LossConfig,
+        OnlineEvalConfig)
+    from lossyless_tpu.compressors.distortions import DistortionConfig
+    from lossyless_tpu.compressors.rates import RateConfig
+    from lossyless_tpu.train.state import OptimConfig, TrainState, train_step
+
+    d = 16
+    cfg = CompressorConfig(
+        encoder=EncoderConfig(arch="identity", z_dim=d),
+        rate=RateConfig(mode="H_factorized"),
+        distortion=DistortionConfig(mode="contrastive", project_dim=16,
+                                    temperature=0.1,
+                                    is_already_featurized=True),
+        online=OnlineEvalConfig(is_online=False),
+        loss=LossConfig(beta=0.05, beta_anneal="constant"),
+        in_shape=(d,), target_shape=2, aux_shape=(d,),
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (32, d)).astype(np.float32)
+    aux = (x + rng.normal(0, 0.1, x.shape)).astype(np.float32)  # positives
+    batch = (x, rng.integers(0, 2, 32), aux)
+    model = LearnableCompressor(cfg)
+    state = TrainState.create(model, batch, jax.random.key(0),
+                              main=OptimConfig(lr=1e-3))
+    state, logs = train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(logs["loss"]))
+    assert float(logs["I_q_zm"]) != 0.0
