@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Installation smoke test — the reference's bin/test.sh equivalent
+# (README.md:132-134): run the full 3-stage pipeline for one dev epoch of
+# both VIC and VAE on the banana source, then the unit suite.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export JAX_PLATFORMS="${JAX_PLATFORMS_OVERRIDE:-cpu}"
+
+OUT=$(mktemp -d)
+for preset in banana_viz_VIC banana_viz_VAE; do
+  echo "=== $preset (dev) ==="
+  python -m lossyless_tpu.cli "$preset" --dev \
+    data_feat.kwargs.length=4096 predictor.n_epochs=2 \
+    out_dir="$OUT/results" ckpt_dir="$OUT/ckpt"
+done
+
+echo "=== aggregating ==="
+python - <<PY
+from lossyless_tpu.analysis.aggregate import ResultAggregator
+agg = ResultAggregator("$OUT/results")
+print(agg.summarize().to_string())
+PY
+
+echo "=== unit tests ==="
+python -m pytest tests/ -q -x
+
+echo "ALL OK"

@@ -229,7 +229,8 @@ def preset(name: str) -> ExperimentConfig:
         cfg = preset("banana_viz_VIC")
         cfg.experiment = "banana_viz_VAE"
         cfg.data_feat.kwargs["additional_target"] = "input"
-        cfg.loss = dataclasses.replace(cfg.loss, factor_beta_dist=2.0)
+        # reference VAE.yaml: distortion.factor_beta=0.5 => lambda = 2
+        cfg.loss = dataclasses.replace(cfg.loss, factor_beta_dist=0.5)
         return cfg
     if name in ("mnist_vic", "augmnist_viz_VIC"):
         # bin/mnist experiments: H_hyper z=128 beta=0.1 on augmented MNIST

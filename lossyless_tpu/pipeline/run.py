@@ -39,6 +39,18 @@ from ..train.metrics import (CsvLogger, MetricAccumulator, namespaced,
 from ..train.state import TrainState, train_step
 
 
+def _git_hash() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=Path(__file__).parent,
+            timeout=5).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def instantiate_datamodule(cfg: ExperimentConfig, data_cfg, split="train"):
     """Build dataset + write its shapes back into cfg (main.py:333-375)."""
     kwargs = dict(data_cfg.kwargs)
@@ -153,6 +165,10 @@ def run_featurizer(cfg: ExperimentConfig):
 
     metrics = _evaluate(model, state, val_ds, cfg, "feat",
                         cfg.data_feat.val_batch_size)
+    # hyperparam bookkeeping (reference main.py:77-85,378-385)
+    metrics["n_param"] = int(sum(
+        np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params)))
+    metrics["git_hash"] = _git_hash()
     write_results_csv(stage_dir, "featurizer", metrics)
     mark_stage_done(stage_dir, "featurizer")
     return model, state, train_ds, val_ds, metrics
