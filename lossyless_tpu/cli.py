@@ -33,6 +33,10 @@ def main(argv=None):
                              "(config/mode/overfit)")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace to this dir")
+    parser.add_argument("--classical", default=None,
+                        choices=["jpeg", "webp", "png", "identity"],
+                        help="evaluate a classical codec baseline instead of "
+                             "training (classical_compressors.py equivalent)")
     args = parser.parse_args(argv)
 
     from .pipeline.config import ExperimentConfig, apply_overrides, preset
@@ -55,8 +59,21 @@ def main(argv=None):
 
     from .core.profiling import debug_mode, profile_trace
 
-    with debug_mode(args.debug), profile_trace(args.profile_dir):
-        metrics = run_main(cfg)
+    if args.classical:
+        from .compressors.classical import ClassicalCompressor
+        from .pipeline.run import _val_dataset, instantiate_datamodule
+        from .train.metrics import write_results_csv
+
+        instantiate_datamodule(cfg, cfg.data_feat)
+        ds = _val_dataset(cfg, cfg.data_feat)
+        comp = ClassicalCompressor(mode=args.classical)
+        bs = min(cfg.data_feat.val_batch_size, len(ds))
+        metrics = comp.evaluate(ds.batches(bs, n_epochs=1), stage="feat")
+        cfg.experiment = f"{cfg.experiment}_classical_{args.classical}"
+        write_results_csv(cfg.stage_dir, "featurizer", metrics)
+    else:
+        with debug_mode(args.debug), profile_trace(args.profile_dir):
+            metrics = run_main(cfg)
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                       for k, v in metrics.items()}, indent=2))
     return metrics
