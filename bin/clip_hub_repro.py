@@ -91,8 +91,11 @@ def main(argv=None):
                 params["rate_estimator"]["entropy_bottleneck"]})
         sample = feats[:256]
         streams = coder.compress(sample)
-        assert np.allclose(coder.decompress(streams),
-                           coder.decompress(streams))
+        # decode must reproduce the quantized latents exactly
+        z_in = coder.process_in(sample)
+        expected = coder.process_out(
+            np.round(z_in - coder.medians[None]) + coder.medians[None])
+        assert np.allclose(coder.decompress(streams), expected, atol=1e-5)
         bits = 8 * np.mean([len(s) for s in streams])
         print(f"{name} (beta={beta}, data={src}): train rate={rate:.1f} bits "
               f"coded={bits:.1f} bits/img -> {out}", flush=True)

@@ -153,7 +153,11 @@ def _fwd(params, z_cb):
 def _bwd(res, g):
     params, z_cb = res
 
-    # recompute through the reference jnp chain for gradients
+    # recompute through the reference jnp chain for gradients; use
+    # lower_bound (NOT maximum) so floored likelihoods keep the
+    # recover-direction gradient, matching eb.forward's semantics
+    from ..core.math import lower_bound
+
     def ref_lik(params, z_cb):
         v = z_cb[:, None, :]  # (C, 1, B)
         lower = eb._logits_cumulative(params, v - 0.5, stop_gradient=False)
@@ -161,7 +165,7 @@ def _bwd(res, g):
         sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
         lik = jnp.abs(jax.nn.sigmoid(sign * upper)
                       - jax.nn.sigmoid(sign * lower))
-        return jnp.maximum(lik[:, 0, :], eb.LIKELIHOOD_BOUND)
+        return lower_bound(lik[:, 0, :], eb.LIKELIHOOD_BOUND)
 
     _, vjp = jax.vjp(ref_lik, params, z_cb)
     return vjp(g)

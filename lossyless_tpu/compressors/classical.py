@@ -47,7 +47,14 @@ class ClassicalCompressor:
         if self.mode == "identity":
             return np.frombuffer(data, np.uint8).reshape(shape)
         with io.BytesIO(data) as f:
-            arr = np.asarray(Image.open(f))
+            img = Image.open(f)
+            # codecs without grayscale support (WebP) decode to RGB;
+            # convert back to the expected channel count
+            if shape[-1] == 1 and img.mode != "L":
+                img = img.convert("L")
+            elif shape[-1] == 3 and img.mode != "RGB":
+                img = img.convert("RGB")
+            arr = np.asarray(img)
         return arr.reshape(shape)
 
     def batch_run(self, x_uint8: np.ndarray) -> tuple[np.ndarray, dict]:

@@ -402,3 +402,41 @@ class HyperpriorCoder:
         z_hat = z_symbols.astype(np.float32) + \
             (means if means is not None else 0.0)
         return np.asarray(self._process_out(z_hat))
+
+
+class SpatialHyperpriorCoder:
+    """compress/decompress for HRateHyperpriorSpatial (rates.py:760-813).
+
+    Folds spatial positions into the batch axis (one hyperprior message per
+    position), then regroups streams per sample. Stream layout per sample:
+    the position streams are concatenated in scan order.
+    """
+
+    def __init__(self, module: "HRateHyperpriorSpatial", params: dict,
+                 batch_stats: dict | None = None):
+        self.module = module
+        self.n_channels = module.n_channels
+        self.side_dim = int(math.isqrt(module.z_dim // module.n_channels))
+        inner_bs = batch_stats.get("inner") if batch_stats else None
+        self.inner = HyperpriorCoder(
+            HRateHyperprior(module.n_channels, module.cfg),
+            params["inner"], inner_bs)
+
+    def _fold(self, z: np.ndarray) -> np.ndarray:
+        b = z.shape[0]
+        s, c = self.side_dim, self.n_channels
+        return z.reshape(b, c, s * s).transpose(0, 2, 1).reshape(b * s * s, c)
+
+    def _unfold(self, zs: np.ndarray, b: int) -> np.ndarray:
+        s, c = self.side_dim, self.n_channels
+        return zs.reshape(b, s * s, c).transpose(0, 2, 1).reshape(b, -1)
+
+    def compress(self, z) -> list[list[bytes]]:
+        z = np.asarray(z)
+        return self.inner.compress(self._fold(z))
+
+    def decompress(self, all_strings, batch_size: int | None = None):
+        zs = self.inner.decompress(all_strings)
+        n_pos = self.side_dim ** 2
+        b = batch_size or len(all_strings[0]) // n_pos
+        return self._unfold(zs, b)

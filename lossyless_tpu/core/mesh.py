@@ -25,12 +25,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+_distributed_initialized = False
+
+
 def init_distributed():
-    """Initialize multi-host JAX if launched in a multi-process environment."""
+    """Initialize multi-host JAX if launched in a multi-process environment.
+
+    Must run before ANY backend use (jax.devices()/process_count() would
+    initialize the single-process backend and make this fail), so the guard
+    is env-var + module-flag based only.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    if "JAX_COORDINATOR_ADDRESS" in os.environ \
+            or "COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
+        _distributed_initialized = True
 
 
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:

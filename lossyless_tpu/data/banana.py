@@ -64,10 +64,22 @@ def device_sample_batch(key, batch_size: int, equivalence: str = "rotation",
             aux = mx
     elif equivalence in ("x_translation", "y_translation"):
         axis = 0 if equivalence == "y_translation" else 1
+        jitter_axis = 1 - axis
         mx = x[:, axis:axis + 1]
         rep = jnp.zeros_like(x).at[:, axis].set(mx[:, 0])
-        aux = rep if additional_target == "representative" else (
-            x if additional_target == "input" else mx)
+        if additional_target == "representative":
+            # orbit resampling like the host path (distributions.py:91-99):
+            # uniform translation within the source's 10/90% quantile range
+            # (constants precomputed from 1e6 BananaDistribution samples)
+            lo, hi = ((-3.30, 2.59) if jitter_axis == 0 else (-3.03, 1.93))
+            jit = jax.random.uniform(k_act, (batch_size,), minval=lo,
+                                     maxval=hi)
+            x = rep.at[:, jitter_axis].add(jit)
+            aux = rep
+        elif additional_target == "input":
+            aux = x
+        else:
+            aux = mx
     else:
         mx = x
         aux = x if additional_target in ("representative", "input") else mx

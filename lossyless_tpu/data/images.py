@@ -227,26 +227,26 @@ class ImageDataset:
                     x = raw
 
                 at = self.additional_target
+                # Normalization contract (reference distortions.py:139-148):
+                # views that re-enter the ENCODER (equiv_x) get the same
+                # normalization as x; reconstruction targets (input /
+                # representative) stay in raw [0,1] space, where the decoder
+                # output is compared.
                 if at == "input":
-                    aux = x
+                    aux = x                        # raw augmented view
                 elif at == "representative":
                     aux = raw                      # un-augmented base image
                 elif at == "equiv_x":
                     key, k2 = jax.random.split(key)
                     aux = self._augment(k2, raw) if self._augment is not None \
                         else raw
+                    aux = self._postprocess(aux)   # same dist as x
                 elif at in ("target", None):
                     aux = y
                 else:
                     raise ValueError(f"unknown additional_target={at}")
 
                 x = self._postprocess(x)
-                if at in ("input", "representative", "equiv_x") \
-                        and at != "representative":
-                    # input/equiv_x compare in augmented space; representative
-                    # target stays unnormalized-raw like the reference's
-                    # unnormalized comparison (distortions.py:139-148)
-                    pass
                 yield x, jnp.asarray(y), aux
 
 
@@ -272,12 +272,16 @@ class ImageDataset:
             raw = data[idx].astype(jnp.float32) / 255.0
             y = targets[idx]
             x = augment(k_aug, raw) if (augment and self.is_augment) else raw
+            # same normalization contract as batches(): encoder-bound views
+            # normalized, reconstruction targets raw
             if at == "input":
                 aux = x
             elif at == "representative":
                 aux = raw
             elif at == "equiv_x":
                 aux = augment(k_aux, raw) if augment else raw
+                if mean is not None:
+                    aux = (aux - mean) / std
             else:
                 aux = y
             if mean is not None:

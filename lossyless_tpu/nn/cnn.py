@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import get_activation
+from .layers import apply_norm, get_activation, norm_uses_bias
 
 
 def _closest_pow2(n: int) -> int:
@@ -46,13 +46,12 @@ class CNNEncoder(nn.Module):
         if (h2, w2) != (h, w):
             x = jax.image.resize(x, (x.shape[0], h2, w2, x.shape[-1]), "bilinear")
         n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
-        use_bn = "batch" in (self.norm_layer or "")
+        use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation)()
         for i in range(n_layers):
             x = nn.Conv(self.hid_dim * 2 ** i, (3, 3), strides=2, padding=1,
-                        use_bias=not use_bn)(x)
-            if use_bn:
-                x = nn.BatchNorm(use_running_average=not training)(x)
+                        use_bias=use_bias)(x)
+            x = apply_norm(self.norm_layer, x, training=training)
             x = act(x)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(self.out_dim)(x)
@@ -72,23 +71,22 @@ class CNNDecoder(nn.Module):
         h, w, c = self.out_shape
         h2, w2 = _closest_pow2(h), _closest_pow2(w)
         n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
-        use_bn = "batch" in (self.norm_layer or "")
+        use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation)()
 
         channels = [self.hid_dim * 2 ** i for i in range(n_layers)][::-1]
         end_h, end_w = h2 // 2 ** n_layers, w2 // 2 ** n_layers
 
-        x = nn.Dense(channels[0] * end_h * end_w, use_bias=not use_bn)(z)
+        x = nn.Dense(channels[0] * end_h * end_w, use_bias=use_bias)(z)
         x = x.reshape(z.shape[0], end_h, end_w, channels[0])
         outs = channels[1:] + [c]
         for i, out_chan in enumerate(outs):
             is_last = i == len(outs) - 1
-            if use_bn:
-                x = nn.BatchNorm(use_running_average=not training)(x)
+            x = apply_norm(self.norm_layer, x, training=training)
             x = act(x)
             x = nn.ConvTranspose(out_chan, (3, 3), strides=(2, 2),
                                  padding="SAME",
-                                 use_bias=(not use_bn) or is_last)(x)
+                                 use_bias=use_bias or is_last)(x)
         if (h2, w2) != (h, w):
             x = jax.image.resize(x, (x.shape[0], h, w, c), "bilinear")
         return x
@@ -117,16 +115,15 @@ class BalleEncoder(nn.Module):
         h2, w2 = _closest_pow2(h), _closest_pow2(w)
         if (h2, w2) != (h, w):
             x = jax.image.resize(x, (x.shape[0], h2, w2, x.shape[-1]), "bilinear")
-        use_bn = "batch" in (self.norm_layer or "")
+        use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation)()
         for i in range(self.n_layers):
             is_last = i == self.n_layers - 1
             out_c = self.channel_out_dim if is_last else self.hid_dim
             x = nn.Conv(out_c, (5, 5), strides=2, padding=2,
-                        use_bias=(not use_bn) or is_last)(x)
+                        use_bias=use_bias or is_last)(x)
             if not is_last:
-                if use_bn:
-                    x = nn.BatchNorm(use_running_average=not training)(x)
+                x = apply_norm(self.norm_layer, x, training=training)
                 x = act(x)
         return x.reshape(x.shape[0], -1)
 
@@ -147,7 +144,7 @@ class BalleDecoder(nn.Module):
         h2, w2 = _closest_pow2(h), _closest_pow2(w)
         end_h, end_w = h2 // 2 ** self.n_layers, w2 // 2 ** self.n_layers
         chan = self.in_dim // (end_h * end_w)
-        use_bn = "batch" in (self.norm_layer or "")
+        use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation, inverse=True)()
 
         x = z.reshape(z.shape[0], end_h, end_w, chan)
@@ -155,10 +152,9 @@ class BalleDecoder(nn.Module):
             is_last = i == self.n_layers - 1
             out_c = c if is_last else self.hid_dim
             x = nn.ConvTranspose(out_c, (5, 5), strides=(2, 2), padding="SAME",
-                                 use_bias=(not use_bn) or is_last)(x)
+                                 use_bias=use_bias or is_last)(x)
             if not is_last:
-                if use_bn:
-                    x = nn.BatchNorm(use_running_average=not training)(x)
+                x = apply_norm(self.norm_layer, x, training=training)
                 x = act(x)
         if (h2, w2) != (h, w):
             x = jax.image.resize(x, (x.shape[0], h, w, c), "bilinear")

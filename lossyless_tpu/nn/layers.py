@@ -54,22 +54,29 @@ class GDN(nn.Module):
         return out.astype(x.dtype)
 
 
-def get_norm(norm_layer: str | None, use_running_average: bool | None = None):
-    """'batchnorm' | 'groupnorm' | 'layernorm' | 'identity'.
+def norm_uses_bias(norm_layer: str | None) -> bool:
+    """Dense/conv bias is dropped under any norm (architectures.py:141)."""
+    return norm_layer in (None, "identity")
 
-    On TPU meshes BatchNorm stats sync via axis_name='data' (the reference
-    forces SyncBatchNorm under DDP, main.py:474).
+
+def apply_norm(norm_layer: str | None, x, *, training: bool):
+    """Apply the named normalization inside a compact flax module.
+
+    'batchnorm' | 'groupnorm' | 'layernorm' | 'identity'/None. Under pjit
+    BatchNorm's batch statistics reduce over the global (sharded) batch,
+    giving SyncBatchNorm semantics (reference forces it under DDP,
+    main.py:474).
     """
     if norm_layer in (None, "identity"):
-        return lambda: (lambda x: x)
+        return x
     if "batch" in norm_layer:
-        return lambda: nn.BatchNorm(
-            use_running_average=use_running_average, axis_name=None,
-            momentum=0.9, epsilon=1e-5)
+        return nn.BatchNorm(use_running_average=not training)(x)
     if "group" in norm_layer:
-        return lambda: nn.GroupNorm(num_groups=None, group_size=16)
+        c = x.shape[-1]
+        groups = 8 if c % 8 == 0 else 1
+        return nn.GroupNorm(num_groups=groups)(x)
     if "layer" in norm_layer:
-        return lambda: nn.LayerNorm()
+        return nn.LayerNorm()(x)
     raise ValueError(f"unknown norm_layer={norm_layer}")
 
 

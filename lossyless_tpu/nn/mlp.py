@@ -13,7 +13,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import get_activation
+from .layers import apply_norm, get_activation, norm_uses_bias
 
 
 def _prod(shape) -> int:
@@ -36,14 +36,13 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        use_bn = "batch" in (self.norm_layer or "")
+        use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation)()
         # flatten everything but batch into features
         x = x.reshape(x.shape[0], -1)
         for _ in range(self.n_hid_layers):
-            x = nn.Dense(self.hid_dim, use_bias=not use_bn)(x)
-            if use_bn:
-                x = nn.BatchNorm(use_running_average=not training)(x)
+            x = nn.Dense(self.hid_dim, use_bias=use_bias)(x)
+            x = apply_norm(self.norm_layer, x, training=training)
             x = act(x)
             if self.dropout_p > 0:
                 x = nn.Dropout(self.dropout_p, deterministic=not training)(x)

@@ -45,7 +45,16 @@ def get_architecture(mode: str, in_shape, out_shape, **kwargs):
     if mode == "resnet":
         return ResNet(out_dim=out_shape, in_shape=tuple(in_shape), **kwargs)
     if mode in ("clip", "clip_vit"):
-        return VisionTransformer(out_dim=512, **kwargs)
+        # plumb the requested output dim and the dataset's resolution: the
+        # tower patchifies natively at any square size (pos-embedding sized
+        # accordingly); weight conversion requires the canonical 224
+        if is_transpose or isinstance(in_shape, int):
+            raise ValueError("clip tower is an encoder (image -> vector)")
+        h, w, _ = in_shape
+        if h != w:
+            raise ValueError(f"clip tower needs square inputs, got {h}x{w}")
+        kwargs.setdefault("image_size", h)
+        return VisionTransformer(out_dim=out_shape, **kwargs)
     if mode in ("clip_rn50", "simclr", "swav"):
         # pretrained-SSL towers (architectures.py:312-379): ResNet-50
         # backbone; converted public weights load into the same param tree

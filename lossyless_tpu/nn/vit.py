@@ -85,6 +85,7 @@ class VisionTransformer(nn.Module):
                     strides=self.patch_size, use_bias=False,
                     dtype=self.dtype, name="patch_embed")(x)
         x = x.reshape(B, -1, self.width)
+        n_patches = x.shape[1]
 
         cls = self.param("class_embedding",
                          nn.initializers.normal(0.02), (self.width,))
@@ -92,6 +93,11 @@ class VisionTransformer(nn.Module):
             [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.width)), x],
             axis=1)
         n_tokens = (self.image_size // self.patch_size) ** 2 + 1
+        if n_patches + 1 != n_tokens:
+            raise ValueError(
+                f"input gives {n_patches} patches but image_size="
+                f"{self.image_size} expects {n_tokens - 1}; construct the "
+                f"tower with image_size matching the data resolution")
         pos = self.param("positional_embedding",
                          nn.initializers.normal(0.02), (n_tokens, self.width))
         x = x + pos.astype(self.dtype)[None]

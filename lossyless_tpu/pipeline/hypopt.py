@@ -108,8 +108,10 @@ def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
         cfg = apply_overrides(copy.deepcopy(base_cfg), overrides)
         cfg.experiment = f"{base_cfg.experiment}_optuna{trial.number}"
         metrics = run_fn(cfg)
-        value = metrics.get(monitor, math.inf)
-        return value if np.isfinite(value) else math.inf
+        # failed/missing trials must be the WORST value for the direction
+        worst = math.inf if direction == "minimize" else -math.inf
+        value = metrics.get(monitor, worst)
+        return value if np.isfinite(value) else worst
 
     study = optuna.create_study(direction=direction)
     study.optimize(objective, n_trials=n_trials)

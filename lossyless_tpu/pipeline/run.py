@@ -195,6 +195,17 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
         coder = HyperpriorCoder(hp, params["rate_estimator"],
                                 bs_tree.get("rate_estimator") if bs_tree
                                 else None)
+    elif cfg.rate.mode == "H_spatial":
+        from ..compressors.rates import (HRateHyperpriorSpatial,
+                                         SpatialHyperpriorCoder)
+
+        hs = HRateHyperpriorSpatial(cfg.encoder.z_dim, cfg.rate.n_channels,
+                                    cfg.rate)
+        bs_tree = jax.device_get(state.batch_stats) if state.batch_stats \
+            else {}
+        coder = SpatialHyperpriorCoder(hs, params["rate_estimator"],
+                                       bs_tree.get("rate_estimator")
+                                       if bs_tree else None)
 
     if coder is not None:
         # encode the eval set through the *encoder* then the real coder
@@ -214,7 +225,7 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
             t0 = time.time()
             coder.decompress(streams)
             t_dec += time.time() - t0
-            if cfg.rate.mode == "H_hyper":
+            if cfg.rate.mode in ("H_hyper", "H_spatial"):
                 total_bytes += sum(len(s) for grp in streams for s in grp)
             else:
                 total_bytes += sum(len(s) for s in streams)
@@ -227,14 +238,31 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
         }
     elif cfg.rate.mode == "lossless":
         zs = []
-        for x, y, aux in val_ds.batches(cfg.data_feat.val_batch_size,
-                                        n_epochs=1, seed=cfg.trainer.seed):
+        for x, y, aux in val_ds.batches(
+                min(cfg.data_feat.val_batch_size, len(val_ds)), n_epochs=1,
+                seed=cfg.trainer.seed):
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             zs.append(np.asarray(model.apply(
                 variables, x, method=lambda m, x: m.p_ZlX(x).mean)))
         metrics = {"n_bits": lossless_bits(np.concatenate(zs))}
+    else:
+        # non-codable estimators (MI): the comm stage reports the
+        # theoretical rate only, like the reference's rate-only test pass
+        # (learnable_compressors.py:201-203)
+        from ..train.state import eval_step
+
+        acc = MetricAccumulator()
+        bs = min(cfg.data_feat.val_batch_size, len(val_ds))
+        for i, b in enumerate(val_ds.batches(bs, n_epochs=1,
+                                             seed=cfg.trainer.seed)):
+            _, logs = eval_step(state, b, jax.random.key(3000 + i),
+                                is_rate_only=True)
+            acc.update(logs, weight=len(b[0]))
+        m = acc.means()
+        metrics = {"rate": m.get("rate", float("nan")),
+                   "is_real_coding": 0.0}
 
     metrics = namespaced(metrics, "test", "comm")
     write_results_csv(stage_dir, "communication", metrics)

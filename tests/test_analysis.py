@@ -87,3 +87,13 @@ def test_visualizations(tmp_path):
     maxinv_distribution_plot(ds.data, ds.max_invariant,
                              tmp_path / "maxinv.png")
     assert (tmp_path / "maxinv.png").exists()
+
+
+def test_classical_webp_grayscale():
+    """WebP has no grayscale mode; decode must convert back (1-channel)."""
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    x = (((yy + xx) * 255 / 62).astype(np.uint8))[None, :, :, None]
+    comp = ClassicalCompressor(mode="webp")
+    x_hat, logs = comp.batch_run(np.repeat(x, 2, axis=0))
+    assert x_hat.shape == (2, 32, 32, 1)
+    assert logs["psnr"] > 25

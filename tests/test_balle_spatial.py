@@ -100,3 +100,23 @@ def test_h_spatial_rate_sums_positions():
     assert z_hat.shape == z.shape
     assert rates.shape == (6,)
     assert np.all(np.asarray(rates) > 0)
+
+
+def test_spatial_coder_roundtrip():
+    """H_spatial real coding: decode reproduces eval-mode z_hat exactly."""
+    from lossyless_tpu.compressors.rates import (HRateHyperpriorSpatial,
+                                                 RateConfig,
+                                                 SpatialHyperpriorCoder)
+
+    mod = HRateHyperpriorSpatial(
+        z_dim=4 * 3 * 3, n_channels=4,
+        cfg=RateConfig(mode="H_spatial", side_z_dim=10))
+    z = jnp.asarray(np.random.default_rng(0).normal(0, 2, (6, 36)),
+                    jnp.float32)
+    v = mod.init({"params": jax.random.key(0)}, z, None, training=True,
+                 rng=jax.random.key(1))
+    coder = SpatialHyperpriorCoder(mod, v["params"], v.get("batch_stats"))
+    streams = coder.compress(np.asarray(z))
+    z_dec = coder.decompress(streams, batch_size=6)
+    z_hat, _, _ = mod.apply(v, z, None, training=False)
+    np.testing.assert_allclose(z_dec, np.asarray(z_hat), atol=1e-4)

@@ -83,3 +83,28 @@ def test_registry_and_specs():
     assert ds.spec.n_classes == 100
     with pytest.raises(ValueError):
         get_datamodule("nope")
+
+
+def test_equiv_x_normalized_like_x():
+    """Contrastive positives must share the encoder's input distribution."""
+    ds = ImageDataset(name="cifar10", synthetic=True, synthetic_n=128,
+                      additional_target="equiv_x", is_normalize=True)
+    x, y, aux = next(ds.batches(32, seed=0))
+    # normalized tensors go negative; raw [0,1] ones don't
+    assert float(np.asarray(x).min()) < -0.2
+    assert float(np.asarray(aux).min()) < -0.2
+    sample = jax.jit(ds.device_sampler(16))
+    x2, _, aux2 = sample(jax.random.key(0))
+    assert float(np.asarray(aux2).min()) < -0.2
+
+
+def test_clip_arch_through_registry():
+    """'clip' encoder mode works at dataset resolution with any z_dim."""
+    from lossyless_tpu.nn.registry import get_architecture
+
+    m = get_architecture("clip", (96, 96, 3), 64, width=64, layers=1,
+                         heads=2)
+    x = jnp.zeros((2, 96, 96, 3))
+    v = m.init(jax.random.key(0), x)
+    z = m.apply(v, x)
+    assert z.shape == (2, 64)
