@@ -23,6 +23,27 @@ from ..train.metrics import read_results_csv
 
 STAGES = ("featurizer", "communication", "predictor")
 
+# pretty plot labels (reference utils/postplotting/pretty_renamer.py:5-38)
+PRETTY_RENAMER = {
+    "test/feat/rate": "Rate [bits]",
+    "test/feat/distortion": "Distortion",
+    "test/comm/n_bits": "Coded rate [bits]",
+    "test/pred/acc": "Test accuracy",
+    "test/pred/err": "Test error",
+    "beta": r"$\beta$",
+    "zdim": r"$\mathrm{dim}(Z)$",
+    "dist_direct": "VIC/VAE",
+    "dist_contrastive": "BINCE",
+    "dist_lossy_Z": "Lossy $Z$",
+    "rate_H_factorized": "Factorized prior",
+    "rate_H_hyper": "Hyperprior",
+    "rate_H_spatial": "Spatial hyperprior",
+}
+
+
+def prettify(name: str) -> str:
+    return PRETTY_RENAMER.get(name, name.replace("_", " "))
+
 
 def path_to_params(path: Path, base: Path) -> dict:
     """Parse `name_value` path segments into a params dict."""
@@ -119,8 +140,8 @@ def plot_rd_curves(df: pd.DataFrame, out_path, rate_col="test/feat/rate",
     for name, g in groups:
         g = g.sort_values(rate_col)
         ax.plot(g[rate_col], g[dist_col], "o-", label=str(name))
-    ax.set_xlabel("Rate [bits]")
-    ax.set_ylabel("Distortion")
+    ax.set_xlabel(prettify(rate_col))
+    ax.set_ylabel(prettify(dist_col))
     ax.legend()
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
@@ -141,7 +162,7 @@ def plot_pareto_front(df: pd.DataFrame, out_path, rate_col="test/comm/n_bits",
     ax.scatter(pts[~mask, 0], pts[~mask, 1], alpha=0.4, label="dominated")
     front = pts[mask][np.argsort(pts[mask, 0])]
     ax.plot(front[:, 0], front[:, 1], "ro-", label="pareto front")
-    ax.set_xlabel("Rate [bits]")
+    ax.set_xlabel(prettify(rate_col))
     ax.set_ylabel("Downstream error")
     ax.legend()
     fig.tight_layout()

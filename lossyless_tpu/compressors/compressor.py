@@ -168,6 +168,16 @@ class LearnableCompressor(nn.Module):
             z_det = jax.lax.stop_gradient(z) + z * 0
             _, rates, _ = self.rate_estimator(
                 z_det, detach(p_zlx), training=training, rng=rngs[1], step=step)
+        elif c.rate.warmup_steps > 0:
+            # warmup: detached-rate path for the first warmup_steps
+            # (reference warmup_k_epoch); where() zeroes the unselected
+            # branch's gradient
+            z_det = jax.lax.stop_gradient(z) + z * 0
+            _, rates_det, _ = self.rate_estimator(
+                z_det, detach(p_zlx), training=training, rng=rngs[1],
+                step=step)
+            in_warmup = jnp.asarray(step) < c.rate.warmup_steps
+            rates = jnp.where(in_warmup, rates_det, rates)
 
         if is_rate_only:
             r_logs = dict(r_logs)

@@ -45,15 +45,30 @@ class DistortionConfig:
     p_norm: float = 1.0
 
 
-def prediction_loss(y_hat, y, is_classification=True):
-    """Per-sample CE or MSE, mean over output dims (helpers.py:439-489)."""
+def prediction_loss(y_hat, y, is_classification=True,
+                    agg_over_tasks: str | None = "mean"):
+    """Per-sample CE or MSE (helpers.py:439-489).
+
+    Shapes follow the reference contract: predictions are
+    (batch, Y_dim[, n_tasks]); the loss is averaged over Y_dim, then
+    aggregated over tasks with `agg_over_tasks`
+    ({mean,sum,max,min,median,std} or None to keep the per-task axis).
+    """
     if is_classification:
         logp = jax.nn.log_softmax(y_hat, axis=-1)
         y = y.astype(jnp.int32)
-        nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
-        return nll.reshape(y_hat.shape[0], -1).mean(-1)
-    se = (y_hat - y.astype(y_hat.dtype)) ** 2
-    return se.reshape(y_hat.shape[0], -1).mean(-1)
+        per = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+    else:
+        per = (y_hat - y.astype(y_hat.dtype)) ** 2
+    b = y_hat.shape[0]
+    if per.ndim <= 2:
+        per = per.reshape(b, -1, 1)          # single task
+    per_task = per.mean(axis=1)              # (batch, n_tasks)
+    if agg_over_tasks is None:
+        return per_task
+    agg = {"mean": jnp.mean, "sum": jnp.sum, "max": jnp.max,
+           "min": jnp.min, "median": jnp.median, "std": jnp.std}
+    return agg[agg_over_tasks](per_task, axis=-1)
 
 
 class DirectDistortion(nn.Module):

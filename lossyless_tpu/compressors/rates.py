@@ -50,7 +50,10 @@ class RateConfig:
     factor_dim: int = 5
     is_pred_mean: bool = True
     is_endToEnd: bool = True
-    warmup_k_epoch: int = 0
+    # rate-estimator warmup: for the first `warmup_steps` the rate loss is
+    # computed on a detached encoder (reference warmup_k_epoch,
+    # rates.py:136-144, in steps rather than epochs)
+    warmup_steps: int = 0
     n_channels: int | None = None       # for H_spatial: latent channels
 
 

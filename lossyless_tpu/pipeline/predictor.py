@@ -83,12 +83,13 @@ class PredictorTrainer:
         def step(params, batch_stats, opt_state, xb, yb):
             def loss_fn(p):
                 v = {"params": p}
-                mutable = []
                 if batch_stats:
                     v["batch_stats"] = batch_stats
-                    mutable = ["batch_stats"]
-                out = model.apply(v, xb, training=True, mutable=mutable)
-                y_hat, new_state = out if mutable else (out, {})
+                    y_hat, new_state = model.apply(
+                        v, xb, training=True, mutable=["batch_stats"])
+                else:
+                    y_hat = model.apply(v, xb, training=True)
+                    new_state = {}
                 loss = prediction_loss(y_hat, yb,
                                        self.cfg.is_classification).mean()
                 return loss, new_state
@@ -121,11 +122,17 @@ class PredictorTrainer:
                                            training=False))
 
     def evaluate(self, z, y, balancing_weights: dict | None = None) -> dict:
-        """Loss/acc/err (+balanced variants, predictors.py:129-144)."""
+        """Loss/acc/err + per-task aggregations + balanced variants
+        (predictors.py:129-186)."""
         y_hat = self.predict(z)
         loss = np.asarray(prediction_loss(
             jnp.asarray(y_hat), jnp.asarray(y), self.cfg.is_classification))
         logs = {"loss": float(loss.mean())}
+        for agg in ("max", "std", "min", "mean", "median"):
+            a = prediction_loss(jnp.asarray(y_hat), jnp.asarray(y),
+                                self.cfg.is_classification,
+                                agg_over_tasks=agg)
+            logs[f"tasks_{agg}"] = float(np.asarray(a).mean())
         if self.cfg.is_classification:
             pred = y_hat.argmax(-1)
             acc = float((pred == y).mean())

@@ -139,3 +139,47 @@ def test_contrastive_distortion_trains():
     assert np.isfinite(float(logs["loss"]))
     # InfoNCE should improve (distortion falls)
     assert float(logs["distortion"]) < first
+
+
+def test_not_end_to_end_rate_does_not_train_encoder():
+    """is_endToEnd=False: the rate term must not backprop into the encoder
+    (reference rates.py:136-144)."""
+    import dataclasses
+    from lossyless_tpu.compressors.rates import RateConfig as RC
+
+    cfg = banana_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        rate=RC(mode="H_factorized", is_endToEnd=False),
+        distortion=dataclasses.replace(cfg.distortion),
+        online=dataclasses.replace(cfg.online, is_online=False),
+    )
+    ds = BananaDataset(length=512)
+    x, y, aux = next(ds.batches(64))
+    model = LearnableCompressor(cfg)
+    variables = model.init({"params": jax.random.key(0)}, x, y, aux,
+                           training=True, step=0, rng=jax.random.key(1))
+
+    def rate_only(params):
+        v = {"params": params}
+        bs = variables.get("batch_stats")
+        if bs:
+            v["batch_stats"] = bs
+            out, _ = model.apply(v, x, y, aux, training=True, step=0,
+                                 rng=jax.random.key(1),
+                                 mutable=["batch_stats"], is_rate_only=True,
+                                 method="step")
+        else:
+            out = model.apply(v, x, y, aux, training=True, step=0,
+                              rng=jax.random.key(1), is_rate_only=True,
+                              method="step")
+        loss, _ = out
+        return loss
+
+    g = jax.grad(rate_only)(variables["params"])
+    enc_grad = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), g["p_ZlX"], 0.0)
+    rate_grad = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), g["rate_estimator"], 0.0)
+    assert float(enc_grad) == 0.0
+    assert float(rate_grad) > 0.0
