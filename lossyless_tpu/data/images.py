@@ -122,6 +122,35 @@ def _load_stl10(data_dir: Path, split: str):
     return data, labels
 
 
+def load_image_folder(root: Path, size: tuple[int, int],
+                      extensions=(".jpg", ".jpeg", ".png")) -> tuple:
+    """Load a class-per-subdirectory image folder into uint8 arrays.
+
+    The on-disk layout the reference's tfds ingestion produces
+    (`TensorflowBaseDataset`, utils/data/images.py:735-865: tfds download ->
+    jpeg folders): `root/<class_name>/<img>.jpg`. Images are resized to
+    `size` with PIL (host-side, done once at load).
+    """
+    from PIL import Image
+
+    root = Path(root)
+    classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+    if not classes:
+        raise FileNotFoundError(f"no class subdirectories under {root}")
+    imgs, labels = [], []
+    for ci, cname in enumerate(classes):
+        for f in sorted((root / cname).iterdir()):
+            if f.suffix.lower() not in extensions:
+                continue
+            img = Image.open(f).convert("RGB").resize(size[::-1],
+                                                      Image.BICUBIC)
+            imgs.append(np.asarray(img, np.uint8))
+            labels.append(ci)
+    if not imgs:
+        raise FileNotFoundError(f"no images under {root}")
+    return np.stack(imgs), np.asarray(labels, np.int64), classes
+
+
 def _synthetic(spec: ImageSpec, split: str, n: int, seed: int):
     """Procedural class-structured images: class-dependent frequency gratings
     plus noise — linearly separable enough for pipeline validation."""
@@ -186,6 +215,13 @@ class ImageDataset:
             return _load_cifar(self.data_dir, self.split, n100=True)
         if self.name == "stl10":
             return _load_stl10(self.data_dir, self.split)
+        # tfds-ingested datasets (food101/cars196/pcam/pets37/caltech101/
+        # galaxy): class-per-subdir jpeg folders under data_dir/<name>/<split>
+        folder = self.data_dir / self.name / self.split
+        if folder.exists():
+            h, w, _ = self.spec.shape
+            data, targets, _ = load_image_folder(folder, (h, w))
+            return data, targets
         raise FileNotFoundError(self.name)
 
     def __len__(self):

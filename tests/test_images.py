@@ -108,3 +108,27 @@ def test_clip_arch_through_registry():
     v = m.init(jax.random.key(0), x)
     z = m.apply(v, x)
     assert z.shape == (2, 64)
+
+
+def test_image_folder_ingestion(tmp_path):
+    """Class-per-subdir folder layout loads into the dataset machinery."""
+    from PIL import Image
+    from lossyless_tpu.data.images import load_image_folder
+
+    for ci, cname in enumerate(["cats", "dogs"]):
+        d = tmp_path / "pets37" / "train" / cname
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = np.full((50, 40, 3), 40 * ci + i, np.uint8)
+            Image.fromarray(arr).save(d / f"img{i}.jpg")
+
+    data, targets, classes = load_image_folder(
+        tmp_path / "pets37" / "train", (96, 96))
+    assert data.shape == (6, 96, 96, 3)
+    assert classes == ["cats", "dogs"]
+    np.testing.assert_array_equal(targets, [0, 0, 0, 1, 1, 1])
+
+    # and through ImageDataset with data_dir pointing at the tree
+    ds = ImageDataset(name="pets37", split="train", data_dir=tmp_path)
+    assert not ds.synthetic
+    assert len(ds) == 6
