@@ -179,6 +179,18 @@ class BananaDataset:
             return out
         return rep
 
+    def device_sampler(self, batch_size: int):
+        """Device-side batch generator (fresh samples each call — the
+        banana source is generative, reference reload_dataloaders_every_epoch
+        semantics)."""
+        eq, at = self.equivalence, self.additional_target
+
+        def sample(key):
+            return device_sample_batch(key, batch_size, equivalence=eq,
+                                       additional_target=at)
+
+        return sample
+
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0):
         """Yield (x, y, aux_target) numpy batches."""
         rng = np.random.default_rng(seed)

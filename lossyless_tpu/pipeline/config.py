@@ -46,6 +46,9 @@ class TrainerConfig:
     monitor_mode: str = "min"
     limit_train_batches: float = 1.0   # dev-mode caps (config/mode/dev.yaml)
     limit_eval_batches: float = 1.0
+    # fuse sampling+augmentation+updates into one XLA program per epoch when
+    # the dataset exposes a device sampler (fast path on TPU)
+    use_fused_epochs: bool = True
 
 
 @dataclasses.dataclass

@@ -128,16 +128,33 @@ def run_featurizer(cfg: ExperimentConfig):
     steps_per_epoch = max(1, int((len(train_ds) // bsz) * limit))
     start_epoch = int(state.step) // steps_per_epoch
 
+    # fused path: datasets exposing a device sampler train each epoch as ONE
+    # XLA program (sampling + augmentation + steps_per_epoch updates) —
+    # no host->device traffic, no per-step dispatch (train/state.py)
+    epoch_fn = None
+    if cfg.trainer.use_fused_epochs and hasattr(train_ds, "device_sampler"):
+        from ..train.state import make_generative_epoch
+        epoch_fn = make_generative_epoch(
+            train_ds.device_sampler(min(bsz, len(train_ds))), steps_per_epoch)
+
     for epoch in range(start_epoch, cfg.data_feat.n_epochs):
-        it = train_ds.batches(bsz, n_epochs=1, seed=cfg.trainer.seed + epoch)
-        for i, batch in enumerate(it):
-            if i >= steps_per_epoch:
-                break
-            state, logs = train_step(
-                state, batch, jax.random.key(int(state.step)))
-            if cfg.trainer.log_every and int(state.step) % cfg.trainer.log_every == 0:
-                logger.log(int(state.step),
-                           namespaced(logs, "train", "feat"))
+        if epoch_fn is not None:
+            state, logs = epoch_fn(
+                state, jax.random.key(cfg.trainer.seed + epoch))
+            if cfg.trainer.log_every:
+                logger.log(int(state.step), namespaced(logs, "train", "feat"))
+        else:
+            it = train_ds.batches(bsz, n_epochs=1,
+                                  seed=cfg.trainer.seed + epoch)
+            for i, batch in enumerate(it):
+                if i >= steps_per_epoch:
+                    break
+                state, logs = train_step(
+                    state, batch, jax.random.key(int(state.step)))
+                if cfg.trainer.log_every and \
+                        int(state.step) % cfg.trainer.log_every == 0:
+                    logger.log(int(state.step),
+                               namespaced(logs, "train", "feat"))
 
         # epoch-end validation + checkpointing
         acc = MetricAccumulator()
@@ -236,6 +253,9 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
             "receiver_time": t_dec / n,
             "sender_time": t_comp / n,
         }
+        if isinstance(cfg.in_shape, (tuple, list)) and len(cfg.in_shape) == 3:
+            h, w, _ = cfg.in_shape  # bits per pixel (step(), :197-199)
+            metrics["bpp"] = metrics["n_bits"] / (h * w)
     elif cfg.rate.mode == "lossless":
         zs = []
         for x, y, aux in val_ds.batches(
