@@ -186,6 +186,10 @@ class ImageDataset:
     additional_target: str | None = "representative"
     is_normalize: bool = False
     is_augment: bool = True           # augment x (train) or not (eval)
+    # joint (image, label) augmentation: kwargs for
+    # EquivariantRandomResizedCrop (label resampled outside the invariant
+    # scale range — reference joint_augmentations, images.py:309-329)
+    label_equivalence: dict | None = None
     data_dir: Path = DATA_DIR
     synthetic: bool = False
     synthetic_n: int = 4096
@@ -205,6 +209,11 @@ class ImageDataset:
                 self.spec, self.split, self.synthetic_n, self.seed)
         self._augment = jax.jit(make_augmenter(self.equivalence)) \
             if self.equivalence else None
+        self._label_augment = None
+        if self.label_equivalence is not None:
+            from .label_augment import EquivariantRandomResizedCrop
+            self._label_augment = jax.jit(EquivariantRandomResizedCrop(
+                num_classes=self.spec.n_classes, **self.label_equivalence))
 
     def _load(self):
         if self.name == "mnist":
@@ -261,6 +270,10 @@ class ImageDataset:
                     x = self._augment(k1, raw)
                 else:
                     x = raw
+
+                if self._label_augment is not None and self.is_augment:
+                    key, k3 = jax.random.split(key)
+                    x, y = self._label_augment(k3, x, jnp.asarray(y))
 
                 at = self.additional_target
                 # Normalization contract (reference distortions.py:139-148):

@@ -1,0 +1,55 @@
+"""Preemption-safe mid-stage resume (SURVEY.md §5.3)."""
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_featurizer_resumes_from_last_checkpoint(tmp_path):
+    """Interrupt after epoch 1, rerun with more epochs: training continues
+    from the last checkpoint instead of restarting (main.py:465-468)."""
+    from lossyless_tpu.pipeline.config import apply_overrides, preset
+    from lossyless_tpu.pipeline.run import run_featurizer
+    from lossyless_tpu.train.checkpoints import stage_sentinel
+
+    base = [
+        "data_feat.kwargs.length=2048", "data_feat.batch_size=256",
+        "data_feat.val_batch_size=512",
+        "encoder.arch_kwargs={'hid_dim':32,'n_hid_layers':1}",
+        "distortion.arch_kwargs={'hid_dim':32,'n_hid_layers':1}",
+        "online.arch_kwargs={'hid_dim':16}",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ]
+    # "preempted" run: 1 epoch only
+    cfg1 = apply_overrides(preset("banana_viz_VIC"),
+                           base + ["data_feat.n_epochs=1"])
+    _, state1, *_ = run_featurizer(cfg1)
+    step_after_1 = int(state1.step)
+    assert step_after_1 > 0
+
+    # restart with 3 epochs, same checkpoint dir: must resume, not restart.
+    # (remove the stage sentinel like a preemption before stage completion)
+    stage_sentinel(cfg1.stage_dir, "featurizer").unlink()
+    cfg2 = apply_overrides(preset("banana_viz_VIC"),
+                           base + ["data_feat.n_epochs=3"])
+    _, state2, *_ = run_featurizer(cfg2)
+    # resumed: exactly 2 more epochs of steps, not 3 fresh ones
+    assert int(state2.step) == 3 * step_after_1
+
+
+def test_label_equivalence_in_image_pipeline():
+    from lossyless_tpu.data.images import ImageDataset
+
+    ds = ImageDataset(
+        name="cifar10", synthetic=True, synthetic_n=128,
+        equivalence=("hflip",),
+        label_equivalence=dict(invariant_scale=(0.99, 1.0),
+                               equivariant_scale=(0.2, 1.0), p=1.0),
+    )
+    x, y, aux = next(ds.batches(64, seed=0, shuffle=False))
+    assert x.shape == (64, 32, 32, 3)
+    # nearly all crops land in the (huge) equivariant range with p=1, so a
+    # large fraction of labels must differ from the raw dataset labels
+    raw_y = ds.targets[:64]
+    frac_changed = float((np.asarray(y) != raw_y).mean())
+    assert frac_changed > 0.5
