@@ -71,12 +71,17 @@ def main():
     data = gen_data(0)
     jax.block_until_ready(data)
 
-    def encode_all(params, data):
+    def encode_all(params, data, rep):
         """Preprocess + embed + quantize N_BATCHES HBM-resident batches.
 
-        Symbols leave the device as int16 (halves host readback) with an
+        Symbols leave the device as int8 (small host readback) with an
         on-device overflow counter asserting the narrowing was lossless.
+        `rep` rotates the batch order so repeated timing windows are
+        distinct programsxinputs (the device runtime memoizes identical
+        dispatches).
         """
+        rolled = jnp.roll(data, rep, axis=0)
+
         def step(_, xb):
             x = (xb.astype(jnp.float32) / 255.0 - mean) / std
             z = model.apply({"params": params}, x)
@@ -85,29 +90,32 @@ def main():
             sym = jnp.round(z_in - med).astype(jnp.int32)
             overflow = jnp.sum(jnp.abs(sym) > 126)
             return None, (sym.astype(jnp.int8), overflow)
-        _, (syms, over) = jax.lax.scan(step, None, data)
+        _, (syms, over) = jax.lax.scan(step, None, rolled)
         return syms, over.sum()  # (N_BATCHES, BATCH, 512), scalar
 
     fn = jax.jit(encode_all)
     # compile + warm
-    syms, over = fn(params, data)
+    syms, over = fn(params, data, 99)
     np.asarray(syms)
     assert int(over) == 0
 
     n_imgs = BATCH * N_BATCHES
     pool = ThreadPoolExecutor(max_workers=1)
 
-    # steady-state rolling pipeline: device chunk i+1 dispatches (async)
-    # while chunk i reads back and host-codes on the pool; best-of windows
-    best = float("inf")
+    # steady-state pipeline: keep the next dispatch in flight while the
+    # current chunk reads back and host-codes; amortized over REPS windows
+    REPS = 4
+    t0 = time.time()
+    inflight = fn(params, data, 0)
     streams = []
-    for rep in range(4):
-        t0 = time.time()
-        syms, over = fn(params, data)  # async dispatch
+    for rep in range(REPS):
+        syms, over = inflight
+        if rep + 1 < REPS:
+            inflight = fn(params, data, rep + 1)   # async next dispatch
         host_syms = np.asarray(syms).reshape(-1, 512).astype(np.int32)
         fut = pool.submit(codec.encode_batch, host_syms, indexes)
         streams = fut.result()
-        best = min(best, time.time() - t0)
+    best = (time.time() - t0) / REPS
     pool.shutdown()
 
     bits = 8 * np.mean([len(s) for s in streams])
