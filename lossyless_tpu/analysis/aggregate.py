@@ -171,6 +171,28 @@ def plot_pareto_front(df: pd.DataFrame, out_path, rate_col="test/comm/n_bits",
     return out_path
 
 
+def plot_hypopt(result: dict, out_path):
+    """Trial values + best-so-far curve from a `pipeline.hypopt` result
+    (the reference's optuna plots, aggregate.py:786)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    trials = result["trials"]
+    values = [t["value"] for t in trials]
+    best = np.minimum.accumulate(values)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(range(len(values)), values, "o", alpha=0.6, label="trials")
+    ax.plot(range(len(values)), best, "r-", label="best so far")
+    ax.set_xlabel("trial")
+    ax.set_ylabel(prettify(result.get("monitor", "value")))
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 class ResultAggregator:
     """Facade mirroring the reference class (aggregate.py:114)."""
 
