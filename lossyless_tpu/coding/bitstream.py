@@ -24,7 +24,7 @@ def write_uints(fd, values):
 def write_bytes(fd, values: bytes):
     if len(values) == 0:
         return
-    fd.write(struct.pack(f">{len(values)}s", values))
+    fd.write(values)  # struct '>Ns' packing would just copy the payload
 
 
 def read_uints(fd, n):
@@ -32,9 +32,10 @@ def read_uints(fd, n):
 
 
 def read_bytes(fd, n) -> bytes:
-    if n == 0:
-        return b""
-    return struct.unpack(f">{n}s", fd.read(n))[0]
+    data = fd.read(n)
+    if len(data) != n:
+        raise ValueError(f"truncated record: wanted {n} bytes, got {len(data)}")
+    return data
 
 
 def write_dataset(file, records: Iterable[bytes], n_records: int):

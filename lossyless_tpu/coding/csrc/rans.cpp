@@ -75,27 +75,43 @@ struct RansEnc {
 
 struct RansDec {
   uint64_t state = 0;
+  const uint32_t* end = nullptr;  // one past the last stream word
+  bool overrun = false;           // set on any read past `end`
 
-  inline void init(uint32_t** pptr) {
+  inline bool init(uint32_t** pptr, const uint32_t* stream_end) {
+    end = stream_end;
+    if (*pptr + 2 > end) {
+      overrun = true;
+      return false;
+    }
     state = (static_cast<uint64_t>((*pptr)[1]) << 32) | (*pptr)[0];
     *pptr += 2;
+    return true;
   }
 
   inline uint32_t get() const {
     return static_cast<uint32_t>(state & ((1u << kPrecision) - 1));
   }
 
+  inline uint32_t next_word(uint32_t** pptr) {
+    if (*pptr >= end) {
+      overrun = true;
+      return 0;
+    }
+    return *((*pptr)++);
+  }
+
   inline void advance(uint32_t** pptr, uint32_t start, uint32_t freq) {
     const uint64_t mask = (1ull << kPrecision) - 1;
     uint64_t x = freq * (state >> kPrecision) + (state & mask) - start;
-    if (x < kRansL) x = (x << 32) | *((*pptr)++);
+    if (x < kRansL) x = (x << 32) | next_word(pptr);
     state = x;
   }
 
   inline uint32_t get_bits(uint32_t** pptr, uint32_t nbits) {
     const uint32_t val = static_cast<uint32_t>(state & ((1u << nbits) - 1));
     uint64_t x = state >> nbits;
-    if (x < kRansL) x = (x << 32) | *((*pptr)++);
+    if (x < kRansL) x = (x << 32) | next_word(pptr);
     state = x;
     return val;
   }
@@ -194,11 +210,12 @@ int64_t decode_one(const uint8_t* bytes, int64_t nbytes, const int32_t* indexes,
                    int32_t* out_symbols) {
   // copy to word-aligned scratch (stream length is a multiple of 4)
   std::vector<uint32_t> words((nbytes + 3) / 4);
+  if (words.empty()) return -1;
   std::memcpy(words.data(), bytes, nbytes);
   uint32_t* ptr = words.data();
 
   RansDec dec;
-  dec.init(&ptr);
+  if (!dec.init(&ptr, words.data() + words.size())) return -1;
 
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
@@ -234,6 +251,7 @@ int64_t decode_one(const uint8_t* bytes, int64_t nbytes, const int32_t* indexes,
       }
     }
     out_symbols[i] = value + offsets[idx];
+    if (dec.overrun) return -1;  // truncated/corrupt stream
   }
   return n;
 }
@@ -245,8 +263,7 @@ void parallel_for(int64_t count, int64_t n_threads, void (*body)(int64_t, void*)
     return;
   }
   std::vector<std::thread> pool;
-  std::vector<int64_t> next(1, 0);
-  // static block partition: simple + deterministic
+  // cyclic striping: simple + deterministic
   const int64_t workers = std::min<int64_t>(n_threads, count);
   pool.reserve(workers);
   for (int64_t t = 0; t < workers; ++t) {
@@ -286,10 +303,14 @@ int64_t rans_decode_with_indexes(const uint8_t* bytes, int64_t nbytes,
 // shared per-position index vector of length m). Output: concatenated streams
 // with per-message byte lengths. Returns total bytes, or -1 on overflow.
 
+// index_stride: 0 = one shared index row for all messages; m = per-message
+// index rows (hyperprior: indexes depend on decoded side information).
+
 struct BatchEncCtx {
   const int32_t* symbols;
   const int32_t* indexes;
   int64_t m;
+  int64_t index_stride;
   const int32_t* cdfs;
   const int32_t* cdf_lengths;
   const int32_t* offsets;
@@ -302,19 +323,44 @@ struct BatchEncCtx {
 static void batch_encode_body(int64_t i, void* vctx) {
   auto* c = static_cast<BatchEncCtx*>(vctx);
   c->out_lengths[i] = encode_one(
-      c->symbols + i * c->m, c->m, c->indexes, c->cdfs, c->cdf_lengths,
-      c->offsets, c->cdf_stride, c->out + i * c->per_msg_capacity,
-      c->per_msg_capacity);
+      c->symbols + i * c->m, c->m, c->indexes + i * c->index_stride, c->cdfs,
+      c->cdf_lengths, c->offsets, c->cdf_stride,
+      c->out + i * c->per_msg_capacity, c->per_msg_capacity);
 }
 
-int64_t rans_encode_batch(const int32_t* symbols, int64_t batch, int64_t m,
-                          const int32_t* indexes, const int32_t* cdfs,
-                          const int32_t* cdf_lengths, const int32_t* offsets,
-                          int64_t cdf_stride, uint8_t* out,
-                          int64_t per_msg_capacity, int64_t* out_lengths,
-                          int64_t n_threads) {
-  BatchEncCtx ctx{symbols,   indexes, m,   cdfs,       cdf_lengths, offsets,
-                  cdf_stride, out,     per_msg_capacity, out_lengths};
+struct BatchDecCtx {
+  const uint8_t* bytes;
+  const int64_t* byte_offsets;  // batch+1 prefix offsets into `bytes`
+  const int32_t* indexes;
+  int64_t m;
+  int64_t index_stride;
+  const int32_t* cdfs;
+  const int32_t* cdf_lengths;
+  const int32_t* offsets;
+  int64_t cdf_stride;
+  int32_t* out_symbols;
+  int64_t* statuses;  // per-message decode_one result (-1 = corrupt)
+};
+
+static void batch_decode_body(int64_t i, void* vctx) {
+  auto* c = static_cast<BatchDecCtx*>(vctx);
+  c->statuses[i] = decode_one(
+      c->bytes + c->byte_offsets[i],
+      c->byte_offsets[i + 1] - c->byte_offsets[i],
+      c->indexes + i * c->index_stride, c->m, c->cdfs, c->cdf_lengths,
+      c->offsets, c->cdf_stride, c->out_symbols + i * c->m);
+}
+
+static int64_t encode_batch_impl(const int32_t* symbols, int64_t batch,
+                                 int64_t m, const int32_t* indexes,
+                                 int64_t index_stride, const int32_t* cdfs,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets, int64_t cdf_stride,
+                                 uint8_t* out, int64_t per_msg_capacity,
+                                 int64_t* out_lengths, int64_t n_threads) {
+  BatchEncCtx ctx{symbols, indexes, m,   index_stride, cdfs,
+                  cdf_lengths, offsets, cdf_stride, out,
+                  per_msg_capacity, out_lengths};
   parallel_for(batch, n_threads, batch_encode_body, &ctx);
   int64_t total = 0;
   for (int64_t i = 0; i < batch; ++i) {
@@ -324,68 +370,33 @@ int64_t rans_encode_batch(const int32_t* symbols, int64_t batch, int64_t m,
   return total;
 }
 
-// Variant with per-message index rows (hyperprior: indexes depend on decoded
-// side information, so each sample has its own index vector).
-
-struct BatchEncVarCtx {
-  const int32_t* symbols;
-  const int32_t* indexes;  // B*m row-major
-  int64_t m;
-  const int32_t* cdfs;
-  const int32_t* cdf_lengths;
-  const int32_t* offsets;
-  int64_t cdf_stride;
-  uint8_t* out;
-  int64_t per_msg_capacity;
-  int64_t* out_lengths;
-};
-
-static void batch_encode_var_body(int64_t i, void* vctx) {
-  auto* c = static_cast<BatchEncVarCtx*>(vctx);
-  c->out_lengths[i] = encode_one(
-      c->symbols + i * c->m, c->m, c->indexes + i * c->m, c->cdfs,
-      c->cdf_lengths, c->offsets, c->cdf_stride,
-      c->out + i * c->per_msg_capacity, c->per_msg_capacity);
+static int64_t decode_batch_impl(const uint8_t* bytes,
+                                 const int64_t* byte_offsets, int64_t batch,
+                                 const int32_t* indexes, int64_t index_stride,
+                                 int64_t m, const int32_t* cdfs,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets, int64_t cdf_stride,
+                                 int32_t* out_symbols, int64_t n_threads) {
+  std::vector<int64_t> statuses(batch, 0);
+  BatchDecCtx ctx{bytes, byte_offsets, indexes, m,   index_stride,
+                  cdfs,  cdf_lengths,  offsets, cdf_stride, out_symbols,
+                  statuses.data()};
+  parallel_for(batch, n_threads, batch_decode_body, &ctx);
+  for (int64_t i = 0; i < batch; ++i) {
+    if (statuses[i] < 0) return -(i + 1);  // 1-based index of bad message
+  }
+  return batch * m;
 }
 
-struct BatchDecVarCtx {
-  const uint8_t* bytes;
-  const int64_t* byte_offsets;
-  const int32_t* indexes;  // B*m row-major
-  int64_t m;
-  const int32_t* cdfs;
-  const int32_t* cdf_lengths;
-  const int32_t* offsets;
-  int64_t cdf_stride;
-  int32_t* out_symbols;
-};
-
-static void batch_decode_var_body(int64_t i, void* vctx) {
-  auto* c = static_cast<BatchDecVarCtx*>(vctx);
-  decode_one(c->bytes + c->byte_offsets[i],
-             c->byte_offsets[i + 1] - c->byte_offsets[i],
-             c->indexes + i * c->m, c->m, c->cdfs, c->cdf_lengths, c->offsets,
-             c->cdf_stride, c->out_symbols + i * c->m);
-}
-
-struct BatchDecCtx {
-  const uint8_t* bytes;
-  const int64_t* byte_offsets;  // batch+1 prefix offsets into `bytes`
-  const int32_t* indexes;
-  int64_t m;
-  const int32_t* cdfs;
-  const int32_t* cdf_lengths;
-  const int32_t* offsets;
-  int64_t cdf_stride;
-  int32_t* out_symbols;
-};
-
-static void batch_decode_body(int64_t i, void* vctx) {
-  auto* c = static_cast<BatchDecCtx*>(vctx);
-  decode_one(c->bytes + c->byte_offsets[i],
-             c->byte_offsets[i + 1] - c->byte_offsets[i], c->indexes, c->m,
-             c->cdfs, c->cdf_lengths, c->offsets, c->cdf_stride,
-             c->out_symbols + i * c->m);
+int64_t rans_encode_batch(const int32_t* symbols, int64_t batch, int64_t m,
+                          const int32_t* indexes, const int32_t* cdfs,
+                          const int32_t* cdf_lengths, const int32_t* offsets,
+                          int64_t cdf_stride, uint8_t* out,
+                          int64_t per_msg_capacity, int64_t* out_lengths,
+                          int64_t n_threads) {
+  return encode_batch_impl(symbols, batch, m, indexes, /*index_stride=*/0,
+                           cdfs, cdf_lengths, offsets, cdf_stride, out,
+                           per_msg_capacity, out_lengths, n_threads);
 }
 
 int64_t rans_decode_batch(const uint8_t* bytes, const int64_t* byte_offsets,
@@ -393,10 +404,9 @@ int64_t rans_decode_batch(const uint8_t* bytes, const int64_t* byte_offsets,
                           const int32_t* cdfs, const int32_t* cdf_lengths,
                           const int32_t* offsets, int64_t cdf_stride,
                           int32_t* out_symbols, int64_t n_threads) {
-  BatchDecCtx ctx{bytes,      byte_offsets, indexes, m,          cdfs,
-                  cdf_lengths, offsets,      cdf_stride, out_symbols};
-  parallel_for(batch, n_threads, batch_decode_body, &ctx);
-  return batch * m;
+  return decode_batch_impl(bytes, byte_offsets, batch, indexes,
+                           /*index_stride=*/0, m, cdfs, cdf_lengths, offsets,
+                           cdf_stride, out_symbols, n_threads);
 }
 
 int64_t rans_encode_batch_varidx(const int32_t* symbols, int64_t batch,
@@ -406,16 +416,9 @@ int64_t rans_encode_batch_varidx(const int32_t* symbols, int64_t batch,
                                  const int32_t* offsets, int64_t cdf_stride,
                                  uint8_t* out, int64_t per_msg_capacity,
                                  int64_t* out_lengths, int64_t n_threads) {
-  BatchEncVarCtx ctx{symbols,    indexes, m,   cdfs,           cdf_lengths,
-                     offsets,    cdf_stride, out, per_msg_capacity,
-                     out_lengths};
-  parallel_for(batch, n_threads, batch_encode_var_body, &ctx);
-  int64_t total = 0;
-  for (int64_t i = 0; i < batch; ++i) {
-    if (out_lengths[i] < 0) return -1;
-    total += out_lengths[i];
-  }
-  return total;
+  return encode_batch_impl(symbols, batch, m, indexes, /*index_stride=*/m,
+                           cdfs, cdf_lengths, offsets, cdf_stride, out,
+                           per_msg_capacity, out_lengths, n_threads);
 }
 
 int64_t rans_decode_batch_varidx(const uint8_t* bytes,
@@ -425,10 +428,9 @@ int64_t rans_decode_batch_varidx(const uint8_t* bytes,
                                  const int32_t* cdf_lengths,
                                  const int32_t* offsets, int64_t cdf_stride,
                                  int32_t* out_symbols, int64_t n_threads) {
-  BatchDecVarCtx ctx{bytes,       byte_offsets, indexes, m,          cdfs,
-                     cdf_lengths, offsets,       cdf_stride, out_symbols};
-  parallel_for(batch, n_threads, batch_decode_var_body, &ctx);
-  return batch * m;
+  return decode_batch_impl(bytes, byte_offsets, batch, indexes,
+                           /*index_stride=*/m, m, cdfs, cdf_lengths, offsets,
+                           cdf_stride, out_symbols, n_threads);
 }
 
 // --- pmf -> quantized cdf -------------------------------------------------
@@ -444,7 +446,7 @@ int32_t pmf_to_quantized_cdf(const float* pmf, int32_t n, int32_t precision,
   cdf[0] = 0;
   for (int32_t i = 0; i < n; ++i) {
     const float p = pmf[i];
-    if (!(p >= 0.f)) return -1;  // negative or NaN
+    if (!(p >= 0.f) || !std::isfinite(p)) return -1;  // negative/NaN/inf
     cdf[i + 1] =
         static_cast<uint32_t>(std::lround(static_cast<double>(p) * (1u << precision)));
   }

@@ -44,7 +44,6 @@ class EBConfig:
     channels: int
     filters: Sequence[int] = (3, 3, 3)
     init_scale: float = 10.0
-    tail_mass: float = TAIL_MASS
 
 
 def init_params(cfg: EBConfig, key: jax.Array) -> dict:
@@ -194,8 +193,13 @@ class CdfTables:
     offset: np.ndarray         # (n,) int32
 
 
-def build_cdf_tables(params, tail_mass: float = TAIL_MASS) -> CdfTables:
-    """Build per-channel quantized CDFs from the learned density."""
+def build_cdf_tables(params) -> CdfTables:
+    """Build per-channel quantized CDFs from the learned density.
+
+    The effective tail mass is whatever the learned quantiles encode (they
+    are trained against `aux_loss`'s TAIL_MASS target); there is no separate
+    knob here.
+    """
     from .rans import pmf_to_quantized_cdf
 
     p = {k: np.asarray(v, dtype=np.float64) for k, v in params.items()}

@@ -65,7 +65,20 @@ def _get_lib():
         if path is None:
             _lib = False
             return _lib
-        lib = ctypes.CDLL(str(path))
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            # stale/incompatible cached .so (different CPU/libc): rebuild
+            # once, else fall back to the pure-Python codec
+            try:
+                path.unlink(missing_ok=True)
+                path = _build_library()
+                lib = ctypes.CDLL(str(path)) if path else None
+            except OSError:
+                lib = None
+            if lib is None:
+                _lib = False
+                return _lib
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -174,17 +187,26 @@ def _py_encode(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
 
 def _py_decode(data: bytes, indexes, cdfs, cdf_lengths, offsets) -> list[int]:
     words = [int.from_bytes(data[i:i + 4], "little") for i in range(0, len(data), 4)]
+    if len(words) < 2:
+        raise ValueError("corrupt or truncated rANS stream")
     pos = 2
     state = words[0] | (words[1] << 32)
     out = []
 
+    def next_word():
+        nonlocal pos
+        if pos >= len(words):
+            raise ValueError("corrupt or truncated rANS stream")
+        w = words[pos]
+        pos += 1
+        return w
+
     def get_bits(nbits):
-        nonlocal state, pos
+        nonlocal state
         val = state & ((1 << nbits) - 1)
         state >>= nbits
         if state < _RANS_L:
-            state = (state << 32) | words[pos]
-            pos += 1
+            state = (state << 32) | next_word()
         return val
 
     for idx in indexes:
@@ -197,8 +219,7 @@ def _py_decode(data: bytes, indexes, cdfs, cdf_lengths, offsets) -> list[int]:
         freq = int(cdf[s + 1] - cdf[s])
         state = freq * (state >> PRECISION) + cum - int(cdf[s])
         if state < _RANS_L:
-            state = (state << 32) | words[pos]
-            pos += 1
+            state = (state << 32) | next_word()
         value = s
         if value == max_value:
             val = get_bits(BYPASS_PRECISION)
@@ -268,10 +289,19 @@ class RansCodec:
         self.n_threads = n_threads or min(16, os.cpu_count() or 1)
         self._use_native = bool(_get_lib())
 
+    def _check_indexes(self, indexes: np.ndarray):
+        """Bounds-check before handing pointers to the native layer."""
+        if indexes.size and (indexes.min() < 0
+                             or indexes.max() >= len(self.cdfs)):
+            raise IndexError(
+                f"codec index out of range [0, {len(self.cdfs)}): "
+                f"[{indexes.min()}, {indexes.max()}]")
+
     # -- single message -----------------------------------------------------
 
     def encode_with_indexes(self, symbols, indexes) -> bytes:
         symbols, indexes = _as_i32(symbols).ravel(), _as_i32(indexes).ravel()
+        self._check_indexes(indexes)
         if not self._use_native:
             return _py_encode(symbols, indexes, self.cdfs, self.cdf_lengths, self.offsets)
         lib = _get_lib()
@@ -289,6 +319,7 @@ class RansCodec:
 
     def decode_with_indexes(self, data: bytes, indexes) -> np.ndarray:
         indexes = _as_i32(indexes).ravel()
+        self._check_indexes(indexes)
         if not self._use_native:
             return np.array(
                 _py_decode(data, indexes, self.cdfs, self.cdf_lengths, self.offsets),
@@ -296,12 +327,14 @@ class RansCodec:
         lib = _get_lib()
         buf = np.frombuffer(data, dtype=np.uint8)
         out = np.empty(len(indexes), dtype=np.int32)
-        lib.rans_decode_with_indexes(
+        rv = lib.rans_decode_with_indexes(
             _ptr(buf, ctypes.c_uint8), len(buf), _ptr(indexes, ctypes.c_int32),
             len(indexes), _ptr(self.cdfs, ctypes.c_int32),
             _ptr(self.cdf_lengths, ctypes.c_int32),
             _ptr(self.offsets, ctypes.c_int32), self.cdfs.shape[1],
             _ptr(out, ctypes.c_int32))
+        if rv < 0:
+            raise ValueError("corrupt or truncated rANS stream")
         return out
 
     # -- batched ------------------------------------------------------------
@@ -310,6 +343,7 @@ class RansCodec:
         """Encode a (batch, m) symbol matrix; shared per-position `indexes` (m,)."""
         symbols = _as_i32(symbols)
         indexes = _as_i32(indexes).ravel()
+        self._check_indexes(indexes)
         batch, m = symbols.shape
         if batch == 0:
             return []
@@ -339,6 +373,7 @@ class RansCodec:
     def decode_batch(self, streams: list[bytes], indexes) -> np.ndarray:
         """Decode a list of streams to a (batch, m) symbol matrix."""
         indexes = _as_i32(indexes).ravel()
+        self._check_indexes(indexes)
         m = len(indexes)
         batch = len(streams)
         if batch == 0:
@@ -354,19 +389,22 @@ class RansCodec:
         np.cumsum([len(s) for s in streams], out=byte_offsets[1:])
         blob = np.frombuffer(b"".join(streams), dtype=np.uint8)
         out = np.empty((batch, m), dtype=np.int32)
-        lib.rans_decode_batch(
+        rv = lib.rans_decode_batch(
             _ptr(blob, ctypes.c_uint8), _ptr(byte_offsets, ctypes.c_int64),
             batch, _ptr(indexes, ctypes.c_int32), m,
             _ptr(self.cdfs, ctypes.c_int32),
             _ptr(self.cdf_lengths, ctypes.c_int32),
             _ptr(self.offsets, ctypes.c_int32), self.cdfs.shape[1],
             _ptr(out, ctypes.c_int32), self.n_threads)
+        if rv < 0:
+            raise ValueError(
+                f"corrupt or truncated rANS stream (message {-rv - 1})")
         return out
-
 
     def encode_batch_varidx(self, symbols, indexes) -> list[bytes]:
         """Per-message index rows: symbols (B, m), indexes (B, m)."""
         symbols, indexes = _as_i32(symbols), _as_i32(indexes)
+        self._check_indexes(indexes)
         batch, m = symbols.shape
         if batch == 0:
             return []
@@ -396,6 +434,7 @@ class RansCodec:
 
     def decode_batch_varidx(self, streams: list[bytes], indexes) -> np.ndarray:
         indexes = _as_i32(indexes)
+        self._check_indexes(indexes)
         batch, m = indexes.shape
         if batch == 0:
             return np.empty((0, m), dtype=np.int32)
@@ -411,13 +450,16 @@ class RansCodec:
         np.cumsum([len(s) for s in streams], out=byte_offsets[1:])
         blob = np.frombuffer(b"".join(streams), dtype=np.uint8)
         out = np.empty((batch, m), dtype=np.int32)
-        lib.rans_decode_batch_varidx(
+        rv = lib.rans_decode_batch_varidx(
             _ptr(blob, ctypes.c_uint8), _ptr(byte_offsets, ctypes.c_int64),
             batch, _ptr(indexes, ctypes.c_int32), m,
             _ptr(self.cdfs, ctypes.c_int32),
             _ptr(self.cdf_lengths, ctypes.c_int32),
             _ptr(self.offsets, ctypes.c_int32), self.cdfs.shape[1],
             _ptr(out, ctypes.c_int32), self.n_threads)
+        if rv < 0:
+            raise ValueError(
+                f"corrupt or truncated rANS stream (message {-rv - 1})")
         return out
 
 

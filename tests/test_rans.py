@@ -109,3 +109,32 @@ def test_pmf_with_tiny_mass_bins():
     cdf = pmf_to_quantized_cdf(pmf)
     assert np.all(np.diff(cdf) >= 1)
     assert cdf[-1] == 1 << 16
+
+
+def test_truncated_stream_raises(codec):
+    """Corrupt/truncated streams must raise, not return garbage."""
+    rng = np.random.default_rng(7)
+    indexes = rng.integers(0, 4, 200)
+    symbols = rng.integers(-8, 7, 200)
+    data = codec.encode_with_indexes(symbols, indexes)
+    with pytest.raises(ValueError):
+        codec.decode_with_indexes(data[:4], indexes)
+    with pytest.raises(ValueError):
+        codec.decode_with_indexes(data[: len(data) // 2], indexes)
+    # python fallback agrees
+    with pytest.raises(ValueError):
+        rans._py_decode(data[: len(data) // 2], indexes, codec.cdfs,
+                        codec.cdf_lengths, codec.offsets)
+    # batch decode flags the offending message
+    good = codec.encode_batch(symbols.reshape(4, 50)[:, :50], indexes[:50])
+    bad = [good[0], good[1][:4], good[2], good[3]]
+    with pytest.raises(ValueError):
+        codec.decode_batch(bad, indexes[:50])
+
+
+def test_out_of_range_index_raises(codec):
+    with pytest.raises(IndexError):
+        codec.encode_with_indexes([0, 1], [0, 99])
+    with pytest.raises(IndexError):
+        codec.decode_batch([b"\x00" * 8], np.asarray([[-1]]) * 1
+                           if False else np.asarray([99]))
