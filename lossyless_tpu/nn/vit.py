@@ -75,6 +75,10 @@ class VisionTransformer(nn.Module):
     out_dim: int = 512
     image_size: int = 224
     dtype: Any = jnp.bfloat16
+    # rematerialize block activations in backward (jax.checkpoint): trades
+    # ~33% more forward FLOPs for O(layers) less activation memory — for
+    # fine-tuning the tower at large batch on memory-constrained chips
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -103,8 +107,10 @@ class VisionTransformer(nn.Module):
         x = x + pos.astype(self.dtype)[None]
 
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.layers):
-            x = Block(self.width, self.heads, self.dtype, name=f"block{i}")(x)
+            x = block_cls(self.width, self.heads, self.dtype,
+                          name=f"block{i}")(x)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),

@@ -111,3 +111,26 @@ def test_contrastive_already_featurized():
     state, logs = train_step(state, batch, jax.random.key(1))
     assert np.isfinite(float(logs["loss"]))
     assert float(logs["I_q_zm"]) != 0.0
+
+
+def test_remat_matches_forward_and_grads():
+    """remat=True must be numerically identical (fwd and grads)."""
+    kw = dict(patch_size=32, width=64, layers=2, heads=2, out_dim=16,
+              dtype=jnp.float32)
+    m0 = VisionTransformer(**kw)
+    m1 = VisionTransformer(remat=True, **kw)
+    x = jax.random.normal(jax.random.key(0), (2, 224, 224, 3))
+    v = m0.init(jax.random.key(1), x)
+
+    z0 = m0.apply(v, x)
+    z1 = m1.apply(v, x)  # same param tree (remat doesn't change names)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1), atol=1e-6)
+
+    g0 = jax.grad(lambda p: (m0.apply({"params": p}, x) ** 2).sum())(
+        v["params"])
+    g1 = jax.grad(lambda p: (m1.apply({"params": p}, x) ** 2).sum())(
+        v["params"])
+    for (a, b) in zip(jax.tree_util.tree_leaves(g0),
+                      jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
