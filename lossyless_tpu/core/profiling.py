@@ -27,6 +27,21 @@ def profile_trace(log_dir: str | Path | None):
         jax.profiler.stop_trace()
 
 
+def device_memory_stats() -> dict:
+    """Per-device memory usage (the reference's GPUStatsMonitor analog,
+    config/mode/debug.yaml)."""
+    stats = {}
+    for d in jax.local_devices():
+        s = getattr(d, "memory_stats", lambda: None)()
+        if s:
+            stats[str(d)] = {
+                "bytes_in_use": s.get("bytes_in_use"),
+                "peak_bytes_in_use": s.get("peak_bytes_in_use"),
+                "bytes_limit": s.get("bytes_limit"),
+            }
+    return stats
+
+
 @contextlib.contextmanager
 def debug_mode(enable: bool = True):
     """NaN-checking debug mode (reference utils/helpers.py:109-113)."""
