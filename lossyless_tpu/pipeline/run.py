@@ -336,9 +336,15 @@ def main(cfg: ExperimentConfig) -> dict:
                                   jax.random.key(cfg.trainer.seed),
                                   main=cfg.optimizer_feat)
         from ..train.checkpoints import load_weights
-        params = load_weights(
-            Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer",
-            jax.device_get(state.params))
+        weights_path = Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer"
+        if not weights_path.exists():
+            raise FileNotFoundError(
+                f"featurizer stage is marked done (sentinel in "
+                f"{stage_dir}) but its exported weights are missing at "
+                f"{weights_path}. Either point ckpt_dir at the directory "
+                f"used for that run, or delete the stage sentinel to "
+                f"retrain.")
+        params = load_weights(weights_path, jax.device_get(state.params))
         state = state.replace(params=params)
 
     if not cfg.is_skip_comm and not is_stage_done(stage_dir, "communication"):
