@@ -46,6 +46,9 @@ class RateConfig:
     mode: str = "H_factorized"          # lossless|MI|H_factorized|H_hyper|H_spatial
     eb_filters: tuple = (3, 3, 3)
     eb_init_scale: float = 10.0
+    # use the fused Pallas likelihood kernel (coding/pallas_eb.py) instead of
+    # the jnp chain for the entropy bottleneck's forward
+    eb_use_pallas: bool = False
     side_z_dim: int | None = None
     factor_dim: int = 5
     is_pred_mean: bool = True
@@ -63,6 +66,7 @@ class EntropyBottleneckModule(nn.Module):
     channels: int
     filters: tuple = (3, 3, 3)
     init_scale: float = 10.0
+    use_pallas: bool = False  # fused likelihood kernel (coding/pallas_eb.py)
 
     def setup(self):
         cfg = eb.EBConfig(self.channels, self.filters, self.init_scale)
@@ -83,7 +87,15 @@ class EntropyBottleneckModule(nn.Module):
         return {k: getattr(self, f"p_{k}") for k in self._keys}
 
     def __call__(self, z, *, training: bool, rng=None):
-        return eb.forward(self.eb_params, z, training=training, key=rng)
+        if not self.use_pallas:
+            return eb.forward(self.eb_params, z, training=training, key=rng)
+        from ..coding import pallas_eb
+        from ..core.math import lower_bound
+
+        mode = "noise" if training else "dequantize"
+        z_hat = eb.quantize(self.eb_params, z, mode, rng)
+        lik = pallas_eb.likelihood(self.eb_params, z_hat)
+        return z_hat, lower_bound(lik, eb.LIKELIHOOD_BOUND)
 
     def aux_loss(self):
         return eb.aux_loss(self.eb_params)
@@ -167,7 +179,8 @@ class HRateFactorizedPrior(nn.Module):
     def setup(self):
         self.affine = _AffineZ(self.z_dim)
         self.entropy_bottleneck = EntropyBottleneckModule(
-            self.z_dim, self.cfg.eb_filters, self.cfg.eb_init_scale)
+            self.z_dim, self.cfg.eb_filters, self.cfg.eb_init_scale,
+            use_pallas=self.cfg.eb_use_pallas)
 
     def __call__(self, z, p_zlx, *, training: bool, rng=None, step=0):
         z_in = self.affine.process_in(z)
