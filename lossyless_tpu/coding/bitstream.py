@@ -12,9 +12,20 @@ materialize twice in memory.
 
 from __future__ import annotations
 
+import contextlib
 import struct
 from pathlib import Path
 from typing import Iterable, Iterator
+
+
+@contextlib.contextmanager
+def _as_fd(file, mode):
+    """Accept a path or an already-open binary file-like object."""
+    if hasattr(file, "read") or hasattr(file, "write"):
+        yield file
+    else:
+        with Path(file).open(mode) as f:
+            yield f
 
 
 def write_uints(fd, values):
@@ -39,7 +50,7 @@ def read_bytes(fd, n) -> bytes:
 
 
 def write_dataset(file, records: Iterable[bytes], n_records: int):
-    with Path(file).open("wb") as f:
+    with _as_fd(file, "wb") as f:
         write_uints(f, (n_records,))
         written = 0
         for b in records:
@@ -51,7 +62,7 @@ def write_dataset(file, records: Iterable[bytes], n_records: int):
 
 
 def read_dataset(file) -> Iterator[bytes]:
-    with Path(file).open("rb") as f:
+    with _as_fd(file, "rb") as f:
         (n,) = read_uints(f, 1)
         for _ in range(n):
             (length,) = read_uints(f, 1)
@@ -59,5 +70,5 @@ def read_dataset(file) -> Iterator[bytes]:
 
 
 def count_records(file) -> int:
-    with Path(file).open("rb") as f:
+    with _as_fd(file, "rb") as f:
         return read_uints(f, 1)[0]
