@@ -130,6 +130,10 @@ def apply_overrides(cfg: ExperimentConfig, overrides: list[str]) -> ExperimentCo
             raise ValueError(f"override must be key=value, got {ov!r}")
         key, value = ov.split("=", 1)
         parts = key.split(".")
+        if parts[0] == "data_pred" and len(parts) > 1 and cfg.data_pred is None:
+            # reference begin() (main.py:246-251): data_pred defaults to
+            # data_feat and overrides are merged on top of that copy
+            cfg.data_pred = copy.deepcopy(cfg.data_feat)
         _set_path(cfg, parts, _coerce(value))
     return cfg
 

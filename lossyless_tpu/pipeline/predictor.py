@@ -36,6 +36,11 @@ class PredictorConfig:
     lr: float = 3e-4
     n_epochs: int = 20
     batch_size: int = 256
+    # run the frozen featurizer INSIDE the probe's jitted train step, with
+    # fresh augmentations drawn on the raw inputs every epoch (reference
+    # featurizer.is_on_the_fly, main.py:163 + predictors.py:41-58). The
+    # default pre-featurizes the dataset once (faster, more RAM).
+    is_on_the_fly: bool = False
 
 
 class Predictor(nn.Module):
@@ -69,18 +74,24 @@ class PredictorTrainer:
     in_shape: Any
     target_shape: int
 
-    def fit(self, z_train, y_train, z_val=None, y_val=None, seed: int = 0,
-            log_every: int = 0):
+    def _init(self, sample_z, seed: int):
         model = Predictor(self.cfg, self.in_shape, self.target_shape)
-        rng = jax.random.key(seed)
-        variables = model.init(rng, jnp.asarray(z_train[:2]), training=True)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
+        variables = model.init(jax.random.key(seed), jnp.asarray(sample_z),
+                               training=True)
         tx = optax.adam(self.cfg.lr)
-        opt_state = tx.init(params)
+        params = variables["params"]
+        return (model, params, variables.get("batch_stats", {}), tx,
+                tx.init(params))
+
+    def _make_step(self, model, tx, featurize_fn=None):
+        """Jitted probe update; the frozen featurizer is fused into the same
+        XLA program when given (on-the-fly mode)."""
 
         @jax.jit
         def step(params, batch_stats, opt_state, xb, yb):
+            if featurize_fn is not None:
+                xb = jax.lax.stop_gradient(featurize_fn(xb))
+
             def loss_fn(p):
                 v = {"params": p}
                 if batch_stats:
@@ -100,6 +111,21 @@ class PredictorTrainer:
             bs = new_state.get("batch_stats", batch_stats)
             return params, bs, opt_state, loss
 
+        return step
+
+    def _finalize(self, model, params, batch_stats):
+        self.model = model
+        self.variables = {"params": params}
+        if batch_stats:
+            self.variables["batch_stats"] = batch_stats
+        return self
+
+    def fit(self, z_train, y_train, z_val=None, y_val=None, seed: int = 0,
+            log_every: int = 0):
+        model, params, batch_stats, tx, opt_state = self._init(
+            z_train[:2], seed)
+        step = self._make_step(model, tx)
+
         n = len(z_train)
         host_rng = np.random.default_rng(seed)
         bsz = min(self.cfg.batch_size, n)
@@ -111,11 +137,34 @@ class PredictorTrainer:
                     params, batch_stats, opt_state,
                     jnp.asarray(z_train[idx]), jnp.asarray(y_train[idx]))
 
-        self.model = model
-        self.variables = {"params": params}
-        if batch_stats:
-            self.variables["batch_stats"] = batch_stats
-        return self
+        return self._finalize(model, params, batch_stats)
+
+    def fit_onfly(self, dataset, featurize_fn, seed: int = 0):
+        """Train with the frozen featurizer running inside the train step.
+
+        Reference parity: `featurizer.is_on_the_fly` (main.py:163) wraps the
+        probe around the frozen featurizer (predictors.py:41-58) so
+        augmentations are re-drawn on the *raw* inputs every epoch and the
+        features are never materialized. TPU framing: featurizer forward +
+        probe update are ONE fused XLA program; only raw batches cross the
+        host/device boundary.
+        """
+        bsz = min(self.cfg.batch_size, len(dataset))
+        x0, _, _ = next(dataset.batches(bsz, n_epochs=1, seed=seed))
+        sample_z = featurize_fn(jnp.asarray(x0[:2]))
+        model, params, batch_stats, tx, opt_state = self._init(sample_z, seed)
+        step = self._make_step(model, tx, featurize_fn=featurize_fn)
+
+        for epoch in range(self.cfg.n_epochs):
+            for xb, yb, _ in dataset.batches(bsz, n_epochs=1,
+                                             seed=seed + epoch):
+                if len(xb) != bsz:
+                    continue  # static shapes: skip the ragged tail batch
+                params, batch_stats, opt_state, loss = step(
+                    params, batch_stats, opt_state,
+                    jnp.asarray(xb), jnp.asarray(yb))
+
+        return self._finalize(model, params, batch_stats)
 
     def predict(self, z) -> np.ndarray:
         return np.asarray(self.model.apply(self.variables, jnp.asarray(z),

@@ -77,8 +77,8 @@ def _val_dataset(cfg: ExperimentConfig, data_cfg):
         kwargs.setdefault("length", 20480)
         kwargs["seed"] = cfg.trainer.seed + 1
         return BananaDataset(**kwargs)
-    return ImageDataset(name=data_cfg.name, split="test", is_augment=False,
-                        **kwargs)
+    kwargs.setdefault("is_augment", False)
+    return ImageDataset(name=data_cfg.name, split="test", **kwargs)
 
 
 def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
@@ -290,6 +290,40 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
     return metrics
 
 
+def _predictor_datasets(cfg: ExperimentConfig, train_ds, val_ds):
+    """Resolve the predictor stage's datamodule + target shape.
+
+    The reference trains the downstream probe on `data_pred`, which may be a
+    *different* dataset than the featurizer's (main.py:277-288 instantiates
+    the pred datamodule from cfg.data_pred; begin() merges data_feat into
+    data_pred only as a default). This is how the flagship CLIP results work:
+    the bottleneck trains on one dataset, probes evaluate on others.
+    """
+    import copy as _copy
+
+    if cfg.data_pred is None:
+        return train_ds, val_ds, cfg.target_shape
+
+    # shapes go into a scratch copy: the featurizer's recorded shapes must
+    # not be clobbered by the predictor's dataset
+    scratch = _copy.copy(cfg)
+    kwargs = dict(cfg.data_pred.kwargs)
+    if cfg.data_pred.name != "banana":
+        # pre-featurization fixes one deterministic view; keep it the eval
+        # view unless the user asked for augmented featurization
+        kwargs.setdefault("is_augment", cfg.predictor.is_on_the_fly)
+    data_cfg = dataclasses.replace(cfg.data_pred, kwargs=kwargs)
+    pred_train = instantiate_datamodule(scratch, data_cfg)
+    pred_val = _val_dataset(scratch, data_cfg)
+
+    if scratch.in_shape != cfg.in_shape:
+        raise ValueError(
+            f"data_pred={cfg.data_pred.name!r} has input shape "
+            f"{scratch.in_shape} but the featurizer was trained on "
+            f"{cfg.in_shape}; the frozen featurizer cannot consume it.")
+    return pred_train, pred_val, scratch.target_shape
+
+
 def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict:
     stage_dir = cfg.stage_dir
 
@@ -299,17 +333,29 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
     feat_fn = jax.jit(lambda x: model.apply(variables, x, method="features"))
 
     data_cfg = cfg.data_pred or cfg.data_feat
-    z_tr, y_tr = featurize_dataset(
-        feat_fn, train_ds.batches(data_cfg.batch_size, n_epochs=1,
-                                  seed=cfg.trainer.seed))
-    z_te, y_te = featurize_dataset(
-        feat_fn, val_ds.batches(data_cfg.batch_size, n_epochs=1,
-                                seed=cfg.trainer.seed))
+    pred_train, pred_val, target_shape = _predictor_datasets(
+        cfg, train_ds, val_ds)
 
-    trainer = PredictorTrainer(cfg.predictor, z_tr.shape[-1],
-                               cfg.target_shape)
-    trainer.fit(z_tr, y_tr, seed=cfg.trainer.seed)
+    if cfg.predictor.is_on_the_fly:
+        # frozen featurizer fused into the probe's train step; fresh
+        # augmentations on raw inputs every epoch (main.py:163)
+        x0, _, _ = next(pred_train.batches(2, seed=cfg.trainer.seed))
+        z_dim = int(np.asarray(feat_fn(jnp.asarray(x0))).shape[-1])
+        trainer = PredictorTrainer(cfg.predictor, z_dim, target_shape)
+        trainer.fit_onfly(pred_train, feat_fn, seed=cfg.trainer.seed)
+    else:
+        z_tr, y_tr = featurize_dataset(
+            feat_fn, pred_train.batches(data_cfg.batch_size, n_epochs=1,
+                                        seed=cfg.trainer.seed))
+        trainer = PredictorTrainer(cfg.predictor, z_tr.shape[-1],
+                                   target_shape)
+        trainer.fit(z_tr, y_tr, seed=cfg.trainer.seed)
+
+    z_te, y_te = featurize_dataset(
+        feat_fn, pred_val.batches(data_cfg.batch_size, n_epochs=1,
+                                  seed=cfg.trainer.seed))
     metrics = namespaced(trainer.evaluate(z_te, y_te), "test", "pred")
+    metrics["data_pred"] = data_cfg.name
     write_results_csv(stage_dir, "predictor", metrics)
     mark_stage_done(stage_dir, "predictor")
     return metrics
