@@ -61,11 +61,11 @@ def main(argv=None):
 
     if args.classical:
         from .compressors.classical import ClassicalCompressor
-        from .pipeline.run import _val_dataset, instantiate_datamodule
+        from .pipeline.run import _test_dataset, instantiate_datamodule
         from .train.metrics import write_results_csv
 
         instantiate_datamodule(cfg, cfg.data_feat)
-        ds = _val_dataset(cfg, cfg.data_feat)
+        ds = _test_dataset(cfg, cfg.data_feat)
         comp = ClassicalCompressor(mode=args.classical)
         bs = min(cfg.data_feat.val_batch_size, len(ds))
         metrics = comp.evaluate(ds.batches(bs, n_epochs=1), stage="feat")

@@ -194,19 +194,27 @@ class ImageDataset:
     synthetic: bool = False
     synthetic_n: int = 4096
     seed: int = 0
+    # fraction of train carved off as the validation split when the dataset
+    # has no native one (reference utils/data/base.py:133-316 keeps val and
+    # test distinct; model selection must not see the test split)
+    val_fraction: float = 0.1
 
     def __post_init__(self):
         self.spec = SPECS[self.name]
         if self.equivalence is None:
             self.equivalence = self.spec.default_equivalence
-        try:
-            if self.synthetic:
-                raise FileNotFoundError
-            self.data, self.targets = self._load()
-        except FileNotFoundError:
-            self.synthetic = True
-            self.data, self.targets = _synthetic(
-                self.spec, self.split, self.synthetic_n, self.seed)
+
+        if self.split == "validation":
+            try:  # native validation split (folder datasets may ship one)
+                if self.synthetic:
+                    raise FileNotFoundError
+                self.data, self.targets = self._load("validation")
+            except FileNotFoundError:
+                self.data, self.targets = self._carve("validation")
+        elif self.split == "train" and self.val_fraction > 0:
+            self.data, self.targets = self._carve("train")
+        else:
+            self.data, self.targets = self._load_any(self.split)
         self._augment = jax.jit(make_augmenter(self.equivalence)) \
             if self.equivalence else None
         self._label_augment = None
@@ -215,23 +223,52 @@ class ImageDataset:
             self._label_augment = jax.jit(EquivariantRandomResizedCrop(
                 num_classes=self.spec.n_classes, **self.label_equivalence))
 
-    def _load(self):
-        if self.name == "mnist":
-            return _load_mnist(self.data_dir, self.split)
-        if self.name == "cifar10":
-            return _load_cifar(self.data_dir, self.split)
-        if self.name == "cifar100":
-            return _load_cifar(self.data_dir, self.split, n100=True)
-        if self.name == "stl10":
-            return _load_stl10(self.data_dir, self.split)
+    def _load(self, split: str):
+        if self.name in ("mnist", "cifar10", "cifar100", "stl10"):
+            if split == "validation":  # binary formats ship train/test only
+                raise FileNotFoundError(f"{self.name} has no validation split")
+            if self.name == "mnist":
+                return _load_mnist(self.data_dir, split)
+            if self.name == "cifar10":
+                return _load_cifar(self.data_dir, split)
+            if self.name == "cifar100":
+                return _load_cifar(self.data_dir, split, n100=True)
+            return _load_stl10(self.data_dir, split)
         # tfds-ingested datasets (food101/cars196/pcam/pets37/caltech101/
         # galaxy): class-per-subdir jpeg folders under data_dir/<name>/<split>
-        folder = self.data_dir / self.name / self.split
+        folder = self.data_dir / self.name / split
         if folder.exists():
             h, w, _ = self.spec.shape
             data, targets, _ = load_image_folder(folder, (h, w))
             return data, targets
         raise FileNotFoundError(self.name)
+
+    def _load_any(self, split: str):
+        """Native load with deterministic synthetic fallback."""
+        try:
+            if self.synthetic:
+                raise FileNotFoundError
+            return self._load(split)
+        except FileNotFoundError:
+            self.synthetic = True
+            return _synthetic(self.spec, split, self.synthetic_n, self.seed)
+
+    def _carve(self, which: str):
+        """Deterministically split train into train/validation parts.
+
+        The permutation seed depends only on the dataset name, so a train
+        instance and a validation instance built anywhere always partition
+        the same way (disjoint, exhaustive).
+        """
+        import zlib
+
+        data, targets = self._load_any("train")
+        n = len(data)
+        n_val = max(1, int(round(n * (self.val_fraction or 0.1))))
+        perm = np.random.default_rng(
+            zlib.crc32(self.name.encode())).permutation(n)
+        idx = perm[:n_val] if which == "validation" else perm[n_val:]
+        return data[idx], targets[idx]
 
     def __len__(self):
         return len(self.data)

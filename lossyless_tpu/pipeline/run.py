@@ -71,14 +71,29 @@ def instantiate_datamodule(cfg: ExperimentConfig, data_cfg, split="train"):
     return ds
 
 
-def _val_dataset(cfg: ExperimentConfig, data_cfg):
+def _eval_dataset(cfg: ExperimentConfig, data_cfg, split: str):
+    """Evaluation dataset for a distinct split.
+
+    val ("validation") is used for checkpoint monitoring during training;
+    test is touched once for final metrics — the reference keeps them
+    distinct (utils/data/base.py:133-316). Banana is a generative
+    distribution, so distinct splits are fresh samples under different seeds.
+    """
     kwargs = dict(data_cfg.kwargs)
     if data_cfg.name == "banana":
         kwargs.setdefault("length", 20480)
-        kwargs["seed"] = cfg.trainer.seed + 1
+        kwargs["seed"] = cfg.trainer.seed + (1 if split == "validation" else 2)
         return BananaDataset(**kwargs)
     kwargs.setdefault("is_augment", False)
-    return ImageDataset(name=data_cfg.name, split="test", **kwargs)
+    return ImageDataset(name=data_cfg.name, split=split, **kwargs)
+
+
+def _val_dataset(cfg: ExperimentConfig, data_cfg):
+    return _eval_dataset(cfg, data_cfg, "validation")
+
+
+def _test_dataset(cfg: ExperimentConfig, data_cfg):
+    return _eval_dataset(cfg, data_cfg, "test")
 
 
 def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
@@ -180,7 +195,10 @@ def run_featurizer(cfg: ExperimentConfig):
     save_weights(Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer",
                  state.params)
 
-    metrics = _evaluate(model, state, val_ds, cfg, "feat",
+    # final metrics on the TEST split, touched once — model selection above
+    # used the validation split only (reference utils/data/base.py:133-316)
+    test_ds = _test_dataset(cfg, cfg.data_feat)
+    metrics = _evaluate(model, state, test_ds, cfg, "feat",
                         cfg.data_feat.val_batch_size)
     # hyperparam bookkeeping (reference main.py:77-85,378-385)
     metrics["n_param"] = int(sum(
@@ -188,11 +206,16 @@ def run_featurizer(cfg: ExperimentConfig):
     metrics["git_hash"] = _git_hash()
     write_results_csv(stage_dir, "featurizer", metrics)
     mark_stage_done(stage_dir, "featurizer")
-    return model, state, train_ds, val_ds, metrics
+    return model, state, train_ds, test_ds, metrics
 
 
 def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
-    """Real entropy coding measurements (the reference's 'comm' test stage)."""
+    """Real entropy coding measurements (the reference's 'comm' test stage).
+
+    ``val_ds`` is the measurement set — main() passes the TEST split of
+    data_pred when set, else of data_feat (reference set_cfg merges data_pred
+    into the comm stage's data, main.py:286-292).
+    """
     stage_dir = cfg.stage_dir
     metrics = {}
     params = jax.device_get(state.params)
@@ -314,7 +337,7 @@ def _predictor_datasets(cfg: ExperimentConfig, train_ds, val_ds):
         kwargs.setdefault("is_augment", cfg.predictor.is_on_the_fly)
     data_cfg = dataclasses.replace(cfg.data_pred, kwargs=kwargs)
     pred_train = instantiate_datamodule(scratch, data_cfg)
-    pred_val = _val_dataset(scratch, data_cfg)
+    pred_val = _test_dataset(scratch, data_cfg)
 
     if scratch.in_shape != cfg.in_shape:
         raise ValueError(
@@ -366,14 +389,14 @@ def main(cfg: ExperimentConfig) -> dict:
     stage_dir = cfg.stage_dir
     all_metrics = {}
 
-    model = state = train_ds = val_ds = None
+    model = state = train_ds = test_ds = None
     if not is_stage_done(stage_dir, "featurizer"):
-        model, state, train_ds, val_ds, m = run_featurizer(cfg)
+        model, state, train_ds, test_ds, m = run_featurizer(cfg)
         all_metrics.update(m)
     else:
         # rebuild from saved weights for downstream stages
         train_ds = instantiate_datamodule(cfg, cfg.data_feat)
-        val_ds = _val_dataset(cfg, cfg.data_feat)
+        test_ds = _test_dataset(cfg, cfg.data_feat)
         model = LearnableCompressor(cfg.compressor_config())
         sample = next(train_ds.batches(
             min(cfg.data_feat.batch_size, len(train_ds)),
@@ -394,9 +417,12 @@ def main(cfg: ExperimentConfig) -> dict:
         state = state.replace(params=params)
 
     if not cfg.is_skip_comm and not is_stage_done(stage_dir, "communication"):
-        all_metrics.update(run_communication(cfg, model, state, val_ds))
+        comm_ds = test_ds if cfg.data_pred is None \
+            else _test_dataset(cfg, cfg.data_pred)
+        all_metrics.update(run_communication(cfg, model, state, comm_ds))
 
     if not cfg.is_only_feat and not is_stage_done(stage_dir, "predictor"):
-        all_metrics.update(run_predictor(cfg, model, state, train_ds, val_ds))
+        all_metrics.update(
+            run_predictor(cfg, model, state, train_ds, test_ds))
 
     return all_metrics

@@ -13,7 +13,10 @@ from lossyless_tpu.data.images import SPECS, ImageDataset, get_datamodule
 def test_synthetic_fallback_and_contract():
     ds = ImageDataset(name="mnist", split="train", synthetic=True,
                       synthetic_n=256, additional_target="representative")
-    assert len(ds) == 256
+    assert len(ds) == 230  # 256 minus the 10% validation carve (26)
+    full = ImageDataset(name="mnist", split="train", synthetic=True,
+                        synthetic_n=256, val_fraction=0)
+    assert len(full) == 256
     x, y, aux = next(ds.batches(32, seed=0))
     assert x.shape == (32, 32, 32, 1)
     assert y.shape == (32,)
@@ -131,4 +134,47 @@ def test_image_folder_ingestion(tmp_path):
     # and through ImageDataset with data_dir pointing at the tree
     ds = ImageDataset(name="pets37", split="train", data_dir=tmp_path)
     assert not ds.synthetic
-    assert len(ds) == 6
+    assert len(ds) == 5  # one image carved into the validation split
+    va = ImageDataset(name="pets37", split="validation", data_dir=tmp_path)
+    assert len(va) == 1 and not va.synthetic
+
+
+def test_validation_split_carved_from_train():
+    """Val/test distinct (reference utils/data/base.py:133-316): validation
+    is carved deterministically from train; never the test split."""
+    from lossyless_tpu.data.images import ImageDataset
+
+    kw = dict(synthetic=True, synthetic_n=200, is_augment=False)
+    tr = ImageDataset(name="cifar10", split="train", **kw)
+    va = ImageDataset(name="cifar10", split="validation", **kw)
+    te = ImageDataset(name="cifar10", split="test", **kw)
+
+    assert len(tr) + len(va) == 200          # exhaustive partition of train
+    assert len(va) == 20                     # default 10% carve
+    tr_rows = {bytes(x) for x in tr.data.reshape(len(tr), -1)}
+    va_rows = {bytes(x) for x in va.data.reshape(len(va), -1)}
+    assert not (tr_rows & va_rows)           # disjoint
+    te_rows = {bytes(x) for x in te.data.reshape(len(te), -1)}
+    assert not (va_rows & te_rows)           # val is not the test split
+
+    # stability: a fresh validation instance selects the same rows
+    va2 = ImageDataset(name="cifar10", split="validation", **kw)
+    assert (va.data == va2.data).all() and (va.targets == va2.targets).all()
+
+
+def test_pipeline_monitors_val_reports_test():
+    from lossyless_tpu.pipeline.config import ExperimentConfig
+    from lossyless_tpu.pipeline.run import _test_dataset, _val_dataset
+
+    cfg = ExperimentConfig()
+    cfg.data_feat.name = "cifar10"
+    cfg.data_feat.kwargs = dict(synthetic=True, synthetic_n=64)
+    va = _val_dataset(cfg, cfg.data_feat)
+    te = _test_dataset(cfg, cfg.data_feat)
+    assert va.split == "validation" and te.split == "test"
+
+    # banana: distinct seeds -> distinct fresh samples for val vs test
+    cfg2 = ExperimentConfig()
+    va_b = _val_dataset(cfg2, cfg2.data_feat)
+    te_b = _test_dataset(cfg2, cfg2.data_feat)
+    assert va_b.seed != te_b.seed
