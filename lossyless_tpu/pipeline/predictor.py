@@ -173,10 +173,18 @@ class PredictorTrainer:
     def evaluate(self, z, y, balancing_weights: dict | None = None) -> dict:
         """Loss/acc/err + per-task aggregations + balanced variants
         (predictors.py:129-186)."""
+        import time
+
+        self.predict(z)  # compile outside the timing
+        t0 = time.time()
         y_hat = self.predict(z)
+        inference_time = (time.time() - t0) / max(1, len(z))
+
         loss = np.asarray(prediction_loss(
             jnp.asarray(y_hat), jnp.asarray(y), self.cfg.is_classification))
-        logs = {"loss": float(loss.mean())}
+        logs = {"loss": float(loss.mean()),
+                # probe forward wall seconds per image (predictors.py:101-112)
+                "inference_time": inference_time}
         for agg in ("max", "std", "min", "mean", "median"):
             a = prediction_loss(jnp.asarray(y_hat), jnp.asarray(y),
                                 self.cfg.is_classification,

@@ -110,6 +110,21 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
         _, logs = eval_step(state, b, jax.random.key(1000 + i))
         acc.update(logs, weight=len(b[0]))
     metrics = acc.means()
+
+    # encoder_time: wall seconds per image for the encoder forward, the
+    # reference's first-class test metric (learnable_compressors.py:182-195)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    enc_fn = jax.jit(lambda x: model.apply(
+        variables, x, method=lambda m, x: m.p_ZlX(x).mean))
+    kept = batches[:n_keep]
+    jax.block_until_ready(enc_fn(kept[0][0]))  # compile outside the timing
+    t0 = time.time()
+    for b in kept:
+        jax.block_until_ready(enc_fn(b[0]))
+    metrics["encoder_time"] = (time.time() - t0) / sum(len(b[0]) for b in kept)
+
     if extra_logs:
         metrics.update(extra_logs)
     return namespaced(metrics, "test", stage)
@@ -250,15 +265,22 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
     if coder is not None:
         # encode the eval set through the *encoder* then the real coder
         n, total_bytes = 0, 0
-        t_comp, t_dec = 0.0, 0.0
+        t_enc, t_comp, t_dec = 0.0, 0.0, 0.0
         bs = min(cfg.data_feat.val_batch_size, len(val_ds))
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        enc_fn = jax.jit(lambda x: model.apply(
+            variables, x, method=lambda m, x: m.p_ZlX(x).mean))
+        warmed = False
         for x, y, aux in val_ds.batches(bs, n_epochs=1,
                                         seed=cfg.trainer.seed):
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            z = np.asarray(model.apply(variables, x,
-                                       method=lambda m, x: m.p_ZlX(x).mean))
+            if not warmed:  # compile outside the timing
+                jax.block_until_ready(enc_fn(x))
+                warmed = True
+            t0 = time.time()
+            z = np.asarray(enc_fn(x))
+            t_enc += time.time() - t0
             t0 = time.time()
             streams = coder.compress(z)
             t_comp += time.time() - t0
@@ -270,11 +292,14 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
             else:
                 total_bytes += sum(len(s) for s in streams)
             n += len(z)
+        # metric names + semantics follow the reference
+        # (learnable_compressors.py:182-195: sender = encoder + compress)
         metrics = {
             "n_bits": 8 * total_bytes / n,
+            "encoder_time": t_enc / n,
             "compress_time": t_comp / n,
             "receiver_time": t_dec / n,
-            "sender_time": t_comp / n,
+            "sender_time": (t_enc + t_comp) / n,
         }
         if isinstance(cfg.in_shape, (tuple, list)) and len(cfg.in_shape) == 3:
             h, w, _ = cfg.in_shape  # bits per pixel (step(), :197-199)

@@ -20,6 +20,13 @@ def test_banana_pipeline_dev(tmp_path):
     assert "test/comm/n_bits" in metrics
     assert "test/pred/loss" in metrics
 
+    # per-image timing metrics, reference column names
+    # (learnable_compressors.py:182-195, predictors.py:101-112)
+    assert metrics["test/feat/encoder_time"] > 0
+    assert metrics["test/comm/encoder_time"] > 0
+    assert metrics["test/comm/sender_time"] >= metrics["test/comm/compress_time"]
+    assert metrics["test/pred/inference_time"] > 0
+
     # artifacts: stage sentinels + per-stage CSVs + weights export
     out = list(Path(tmp_path, "results").rglob("*"))
     names = {p.name for p in out}
