@@ -113,6 +113,174 @@ def summarize_metrics(df: pd.DataFrame, group_by=None) -> pd.DataFrame:
     return agg.reset_index()
 
 
+def melt_rate_distortions(df: pd.DataFrame, rate_col: str,
+                          distortion_cols) -> pd.DataFrame:
+    """Long format: one row per (run, distortion_type) with rate_val/
+    distortion_val columns (reference merge_rate_distortions,
+    aggregate.py:891-911)."""
+    frames = []
+    for dcol in distortion_cols:
+        if dcol not in df.columns:
+            continue
+        sub = df.copy()
+        sub["distortion_type"] = dcol
+        sub["distortion_val"] = sub[dcol]
+        sub["rate_val"] = sub[rate_col]
+        frames.append(sub)
+    if not frames:
+        raise ValueError(f"none of {distortion_cols} present in the frame")
+    return pd.concat(frames, ignore_index=True)
+
+
+def _area_under_rd(group: pd.DataFrame) -> float:
+    """Trapezoidal area under the RD curve (aggregate.py:914-917)."""
+    g = group.sort_values("distortion_val")
+    if len(g) < 2:
+        return float("nan")
+    return float(np.trapezoid(g["rate_val"].to_numpy(),
+                              g["distortion_val"].to_numpy()))
+
+
+def _rate_mindistortion(group: pd.DataFrame, min_distortion: float,
+                        epsilon: float) -> tuple[float, float]:
+    """Mean/sem rate over points epsilon-close to the minimal distortion
+    (aggregate.py:920-947)."""
+    close = group[group["distortion_val"] <= min_distortion + epsilon]
+    return float(close["rate_val"].mean()), float(close["rate_val"].sem())
+
+
+def summarize_RD_curves(
+    df: pd.DataFrame,
+    rate_col: str = "test/feat/rate",
+    distortion_cols=("test/feat/distortion", "test/feat/online_loss"),
+    mse_cols=("test/feat/distortion", "test/feat/online_loss"),
+    sweep_col: str = "beta",
+    agg_cols=("seed",),
+    compare_cols=("dist",),
+    epsilon_close_distortion: float = 0.01,
+) -> pd.DataFrame:
+    """Summaries of each RD curve (reference aggregate.py:437-533):
+
+    * ``AURD`` — area under the rate-distortion curve swept over
+      ``sweep_col`` (one curve per seed, then mean/sem over ``agg_cols``);
+    * ``rate_mindist_curr`` — mean rate of points epsilon-close to that
+      model's own best distortion;
+    * ``rate_mindist_all`` — same, but epsilon-close to the best distortion
+      across all models differing only in ``compare_cols``.
+
+    MSE-valued distortions are first converted to differential-entropy upper
+    bounds (0.5 * log2(2*pi*e*mse)) so rate and distortion share units.
+    """
+    df = df.copy()
+    for c in mse_cols:
+        if c in df.columns:
+            df[c] = 0.5 * np.log2(2 * np.pi * np.e * df[c].astype(float))
+    long = melt_rate_distortions(df, rate_col, distortion_cols)
+
+    param_cols = [c for c in ("exp", "datafeat", "dist", "enc", "rate",
+                              "zdim") if c in long.columns]
+    curve_keys = param_cols + ["distortion_type"]          # one RD curve
+    seed_keys = curve_keys + [c for c in agg_cols if c in long.columns]
+
+    # AURD per seed-curve, then aggregated over seeds
+    aurd = long.groupby(seed_keys, dropna=False).apply(
+        _area_under_rd, include_groups=False).rename("AURD").reset_index()
+    aurd = aurd.groupby(curve_keys, dropna=False)["AURD"] \
+        .agg(["mean", "sem"]).rename(
+            columns={"mean": "AURD_mean", "sem": "AURD_sem"})
+
+    # best distortion across models differing only in compare_cols
+    global_keys = [c for c in curve_keys if c not in compare_cols]
+    global_min = long.groupby(global_keys, dropna=False)["distortion_val"] \
+        .min().rename("global_min_distortion")
+
+    rows = []
+    for key, g in long.groupby(curve_keys, dropna=False):
+        key = key if isinstance(key, tuple) else (key,)
+        own_min = g["distortion_val"].min()
+        cur_mean, cur_sem = _rate_mindistortion(
+            g, own_min, epsilon_close_distortion)
+        gkey = tuple(v for c, v in zip(curve_keys, key)
+                     if c not in compare_cols)
+        gmin = global_min.loc[gkey if len(gkey) > 1 else gkey[0]]
+        all_mean, all_sem = _rate_mindistortion(
+            g, float(gmin), epsilon_close_distortion)
+        rows.append(dict(zip(curve_keys, key),
+                         rate_mindist_curr_mean=cur_mean,
+                         rate_mindist_curr_sem=cur_sem,
+                         rate_mindist_all_mean=all_mean,
+                         rate_mindist_all_sem=all_sem))
+    mindist = pd.DataFrame(rows).set_index(curve_keys)
+    return aurd.join(mindist).reset_index()
+
+
+def plot_scatter_lines(df: pd.DataFrame, out_path, x: str, y: str,
+                       hue: str | None = None, kind: str = "line",
+                       logbase_x: float | None = None,
+                       logbase_y: float | None = None,
+                       xlabel: str | None = None, ylabel: str | None = None,
+                       is_errorbar: bool = False):
+    """Generic scatter/line plot grouped by ``hue``
+    (reference plot_scatter_lines, aggregate.py:619-716; the seaborn facet
+    machinery is deliberately folded into one matplotlib axes)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    groups = df.groupby(hue, dropna=False) if hue and hue in df.columns \
+        else [("all", df)]
+    for name, g in groups:
+        g = g.dropna(subset=[x, y]).sort_values(x)
+        if g.empty:
+            continue
+        style = "o-" if kind == "line" else "o"
+        if is_errorbar and f"{y}_sem" in g.columns:
+            ax.errorbar(g[x], g[y], yerr=g[f"{y}_sem"], fmt=style,
+                        capsize=3, label=str(name))
+        else:
+            ax.plot(g[x], g[y], style, label=str(name))
+    if logbase_x:
+        ax.set_xscale("log", base=logbase_x)
+    if logbase_y:
+        ax.set_yscale("log", base=logbase_y)
+    ax.set_xlabel(xlabel or prettify(x))
+    ax.set_ylabel(ylabel or prettify(y))
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_invariance_RD_curve(
+    df: pd.DataFrame, out_path,
+    col_dist_param: str = "dist",
+    noninvariant: str = "direct",
+    rate_col: str = "test/feat/rate",
+    upper_distortion: str = "test/feat/distortion",
+    desirable_distortion: str = "test/feat/online_loss",
+):
+    """Invariance RD curves (reference plot_invariance_RD_curve,
+    aggregate.py:364-434): every model is plotted against the *invariance*
+    distortion H[M(X)|Z] (``desirable_distortion``); the non-invariant model
+    additionally appears as 'Worst <model>' using its training distortion
+    H[X|Z] (``upper_distortion``), a tight upper bound on the worst-case
+    invariance distortion of an optimal non-invariant Z.
+    """
+    long = melt_rate_distortions(df, rate_col,
+                                 [upper_distortion, desirable_distortion])
+    keep = (long["distortion_type"] == desirable_distortion) | \
+        (long[col_dist_param] == noninvariant)
+    long = long[keep].copy()
+    worst = (long[col_dist_param] == noninvariant) & \
+        (long["distortion_type"] == upper_distortion)
+    long.loc[worst, col_dist_param] = f"Worst {noninvariant}"
+    return plot_scatter_lines(long, out_path, x="distortion_val",
+                              y="rate_val", hue=col_dist_param,
+                              xlabel="Distortion", ylabel="Rate (bits)")
+
+
 def is_pareto_optimal(points: np.ndarray) -> np.ndarray:
     """Boolean mask of Pareto-optimal points, both axes minimized
     (aggregate.py:956)."""
@@ -209,6 +377,23 @@ class ResultAggregator:
     def rd_curves(self, **kwargs):
         return plot_rd_curves(self.df, self.results_dir / "rd_curves.png",
                               **kwargs)
+
+    def summarize_rd_curves(self, **kwargs) -> pd.DataFrame:
+        out = summarize_RD_curves(self.df, **kwargs)
+        out.to_csv(self.results_dir / "summarized_RD_curves_merged.csv",
+                   index=False)
+        return out
+
+    def invariance_rd_curve(self, **kwargs):
+        return plot_invariance_RD_curve(
+            self.df, self.results_dir / "invariance_RD_curve.png", **kwargs)
+
+    def scatter_lines(self, x: str, y: str, filename: str | None = None,
+                      **kwargs):
+        name = filename or f"scatter_{x.replace('/', '_')}_" \
+            f"{y.replace('/', '_')}.png"
+        return plot_scatter_lines(self.df, self.results_dir / name, x=x, y=y,
+                                  **kwargs)
 
     def pareto(self, **kwargs):
         return plot_pareto_front(self.df, self.results_dir / "pareto.png",
