@@ -1,0 +1,224 @@
+"""Externally-ingested datasets: ImageNet, COCO-CLIP captions, Galaxy Zoo.
+
+These read the on-disk layouts materialized by `data.ingest` (or by the
+official distributions) *lazily* — paths are indexed at construction, jpegs
+are decoded per batch on the host while the device computes the previous
+batch — because these datasets don't fit the in-memory `ImageDataset` design
+(reference equivalents: ImageNetDataset utils/data/images.py:676-731,
+CocoClipDataset :1261-1362, GalaxyDataset :1137-1257).
+
+Contract: same as every datamodule here — `len()`, `spec`,
+`batches(batch_size, n_epochs, seed) -> (x, y, aux)` float batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from .images import DATA_DIR, ImageSpec
+
+IMAGENET_SPEC = ImageSpec("imagenet", (224, 224, 3), 1000,
+                          ("hflip", "resize_crop", "color", "gray"))
+COCO_SPEC = ImageSpec("coco_captions", (224, 224, 3), 1)
+GALAXY_ZOO_SPEC = ImageSpec("galaxy_zoo", (128, 128, 3), 37, ("D4_group",))
+
+
+def _load_jpeg_batch(paths, size) -> np.ndarray:
+    from PIL import Image
+
+    out = np.empty((len(paths), size[0], size[1], 3), np.uint8)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB")
+        if img.size != (size[1], size[0]):
+            img = img.resize((size[1], size[0]), Image.BICUBIC)
+        out[i] = np.asarray(img, np.uint8)
+    return out
+
+
+@dataclasses.dataclass
+class StreamingImageFolder:
+    """Lazy class-per-subdir reader for datasets too large for memory.
+
+    For ImageNet: prefers `<data_dir>/imagenet256` over `<data_dir>/imagenet`
+    (reference images.py:686-695), and maps the test split to `val` since the
+    real test labels were never released (:697-698).
+    """
+
+    name: str = "imagenet"
+    split: str = "train"
+    additional_target: str | None = "representative"
+    data_dir: Path = DATA_DIR
+    is_augment: bool = False  # augmentation left to the device pipeline
+
+    def __post_init__(self):
+        self.spec = IMAGENET_SPEC if self.name == "imagenet" \
+            else dataclasses.replace(IMAGENET_SPEC, name=self.name)
+        root = None
+        if self.name == "imagenet":
+            for cand in ("imagenet256", "imagenet"):
+                if (Path(self.data_dir) / cand).exists():
+                    root = Path(self.data_dir) / cand
+                    break
+            if root is None:
+                raise FileNotFoundError(
+                    f"neither imagenet256 nor imagenet found under "
+                    f"{self.data_dir}; install manually (no public download)")
+            split = "val" if self.split in ("test", "validation") else self.split
+        else:
+            root = Path(self.data_dir) / self.name
+            split = self.split
+        split_dir = root / split
+        if not split_dir.exists():
+            raise FileNotFoundError(split_dir)
+        self.classes = sorted(d.name for d in split_dir.iterdir()
+                              if d.is_dir())
+        self.paths, targets = [], []
+        for ci, cname in enumerate(self.classes):
+            for f in sorted((split_dir / cname).iterdir()):
+                if f.suffix.lower() in (".jpeg", ".jpg", ".png"):
+                    self.paths.append(f)
+                    targets.append(ci)
+        self.targets = np.asarray(targets, np.int64)
+        self.n_classes = max(len(self.classes), self.spec.n_classes)
+
+    def __len__(self):
+        return len(self.paths)
+
+    @property
+    def aux_shape(self):
+        if self.additional_target == "target":
+            return self.spec.n_classes
+        return self.spec.shape
+
+    def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
+                shuffle: bool = True, drop_last: bool = True):
+        h, w, _ = self.spec.shape
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        for _ in range(n_epochs):
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            stop = n - batch_size + 1 if drop_last else n
+            for i in range(0, max(stop, 1), batch_size):
+                idx = order[i:i + batch_size]
+                x = _load_jpeg_batch([self.paths[j] for j in idx],
+                                     (h, w)).astype(np.float32) / 255.0
+                y = self.targets[idx]
+                if self.additional_target == "target":
+                    aux = y.astype(np.float32)
+                else:  # input / representative: the raw view
+                    aux = x
+                yield x, y, aux
+
+
+@dataclasses.dataclass
+class CocoClipDataset:
+    """Ingested COCO captions: image x, positive aux = a caption feature.
+
+    The equivalence class of an image is 'images described by the same
+    caption' — `equiv_x` returns the CLIP text features of one of its
+    captions, drawn at random per epoch (reference images.py:1341-1349).
+    Targets are -1 (no labels, reference :1337-1339).
+    """
+
+    split: str = "train"
+    data_dir: Path = DATA_DIR
+    additional_target: str | None = "equiv_x"
+
+    def __post_init__(self):
+        self.spec = COCO_SPEC
+        if self.split == "validation":  # no val split: fall back to train
+            self.split = "train"        # (reference to_tfds_split, :855-860)
+        split_dir = Path(self.data_dir) / "coco_captions" / self.split
+        if not split_dir.exists():
+            raise FileNotFoundError(
+                f"{split_dir} missing; run data.ingest.ingest_coco_clip")
+        self.split_dir = split_dir
+        self.paths = sorted(split_dir.glob("*th_img.jpeg"),
+                            key=lambda p: int(p.name.split("th")[0]))
+        self._feat_dim = None
+
+    def __len__(self):
+        return len(self.paths)
+
+    @property
+    def feat_dim(self) -> int:
+        if self._feat_dim is None:
+            f = np.load(self.split_dir / "0th_features.npy")
+            self._feat_dim = int(f.shape[-1])
+        return self._feat_dim
+
+    @property
+    def aux_shape(self):
+        return (self.feat_dim,)
+
+    def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
+                shuffle: bool = True, drop_last: bool = True):
+        h, w, _ = self.spec.shape
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        for _ in range(n_epochs):
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            stop = n - batch_size + 1 if drop_last else n
+            for i in range(0, max(stop, 1), batch_size):
+                idx = order[i:i + batch_size]
+                x = _load_jpeg_batch([self.paths[j] for j in idx],
+                                     (h, w)).astype(np.float32) / 255.0
+                aux = np.empty((len(idx), self.feat_dim), np.float32)
+                for r, j in enumerate(idx):
+                    feats = np.load(self.split_dir / f"{j}th_features.npy")
+                    aux[r] = feats[rng.integers(len(feats))]
+                y = np.full((len(idx),), -1, np.int64)
+                yield x, y, aux
+
+
+@dataclasses.dataclass
+class GalaxyZooDataset:
+    """Ingested Galaxy Zoo: 37-task regression targets (reference
+    images.py:1137-1257; target treated as regression, is_clf False)."""
+
+    split: str = "train"
+    data_dir: Path = DATA_DIR
+    additional_target: str | None = "target"
+
+    def __post_init__(self):
+        self.spec = GALAXY_ZOO_SPEC
+        if self.split == "validation":  # no val split: fall back to train
+            self.split = "train"
+        root = Path(self.data_dir) / "galaxy"
+        split_dir = root / self.split
+        if not split_dir.exists():
+            raise FileNotFoundError(
+                f"{split_dir} missing; run data.ingest.ingest_kaggle_galaxy")
+        self.split_dir = split_dir
+        self.paths = sorted(split_dir.glob("*th_img.jpeg"),
+                            key=lambda p: int(p.name.split("th")[0]))
+        if self.split == "train":
+            self.targets = np.load(root / "train_targets.npy")
+        else:  # kaggle holds test labels back; ids used for submissions
+            self.ids = np.load(root / f"{self.split}_ids.npy")
+            self.targets = np.zeros((len(self.paths), 37), np.float32)
+
+    def __len__(self):
+        return len(self.paths)
+
+    @property
+    def aux_shape(self):
+        return 37
+
+    def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
+                shuffle: bool = True, drop_last: bool = True):
+        h, w, _ = self.spec.shape
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        for _ in range(n_epochs):
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            stop = n - batch_size + 1 if drop_last else n
+            for i in range(0, max(stop, 1), batch_size):
+                idx = order[i:i + batch_size]
+                x = _load_jpeg_batch([self.paths[j] for j in idx],
+                                     (h, w)).astype(np.float32) / 255.0
+                y = self.targets[idx].astype(np.float32)
+                yield x, y, y.copy()

@@ -384,4 +384,13 @@ def get_datamodule(name: str, **kwargs):
         return BananaDataset(**kwargs)
     if name in SPECS:
         return ImageDataset(name=name, **kwargs)
+    if name == "imagenet":
+        from .external import StreamingImageFolder
+        return StreamingImageFolder(name=name, **kwargs)
+    if name in ("coco_clip", "coco_captions"):
+        from .external import CocoClipDataset
+        return CocoClipDataset(**kwargs)
+    if name == "galaxy_zoo":
+        from .external import GalaxyZooDataset
+        return GalaxyZooDataset(**kwargs)
     raise ValueError(f"unknown dataset {name}")

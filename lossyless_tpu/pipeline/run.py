@@ -60,11 +60,20 @@ def instantiate_datamodule(cfg: ExperimentConfig, data_cfg, split="train"):
         cfg.target_shape = 1
         at = kwargs.get("additional_target", "representative")
         cfg.aux_shape = 1 if at == "target" else 2
-    else:
+        return ds
+    from ..data.images import SPECS
+
+    if data_cfg.name in SPECS:
         ds = ImageDataset(name=data_cfg.name, split=split, **kwargs)
-        cfg.in_shape = ds.spec.shape
-        cfg.target_shape = ds.spec.n_classes
-        at = kwargs.get("additional_target", "representative")
+    else:
+        ds = get_datamodule(data_cfg.name, split=split, **kwargs)
+    cfg.in_shape = ds.spec.shape
+    cfg.target_shape = ds.spec.n_classes
+    at = kwargs.get("additional_target",
+                    getattr(ds, "additional_target", "representative"))
+    if hasattr(ds, "aux_shape"):
+        cfg.aux_shape = ds.aux_shape
+    else:
         cfg.aux_shape = (ds.spec.shape if at in
                          ("input", "representative", "equiv_x")
                          else ds.spec.n_classes)
@@ -79,13 +88,17 @@ def _eval_dataset(cfg: ExperimentConfig, data_cfg, split: str):
     distinct (utils/data/base.py:133-316). Banana is a generative
     distribution, so distinct splits are fresh samples under different seeds.
     """
+    from ..data.images import SPECS
+
     kwargs = dict(data_cfg.kwargs)
     if data_cfg.name == "banana":
         kwargs.setdefault("length", 20480)
         kwargs["seed"] = cfg.trainer.seed + (1 if split == "validation" else 2)
         return BananaDataset(**kwargs)
-    kwargs.setdefault("is_augment", False)
-    return ImageDataset(name=data_cfg.name, split=split, **kwargs)
+    if data_cfg.name in SPECS:
+        kwargs.setdefault("is_augment", False)
+        return ImageDataset(name=data_cfg.name, split=split, **kwargs)
+    return get_datamodule(data_cfg.name, split=split, **kwargs)
 
 
 def _val_dataset(cfg: ExperimentConfig, data_cfg):
