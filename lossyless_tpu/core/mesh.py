@@ -40,10 +40,21 @@ def init_distributed():
     global _distributed_initialized
     if _distributed_initialized:
         return
-    if "JAX_COORDINATOR_ADDRESS" in os.environ \
-            or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
-        _distributed_initialized = True
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") \
+        or os.environ.get("COORDINATOR_ADDRESS")
+    if addr is None:
+        return
+    # explicit args: jax auto-detection only covers SLURM/OMPI/TPU pods,
+    # not plain multi-process launches (jax._src.clusters)
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if n is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(n),
+                                   process_id=int(pid))
+    else:
+        jax.distributed.initialize(coordinator_address=addr)
+    _distributed_initialized = True
 
 
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:

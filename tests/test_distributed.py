@@ -1,0 +1,35 @@
+"""Multi-host data parallelism: two real OS processes over localhost.
+
+Exercises core.mesh.init_distributed + cross-process collectives — the path
+the in-process virtual mesh can't cover (reference analog: Lightning DDP
+multi-node, config/main.yaml:123)."""
+
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+WORKER = Path(__file__).parent / "dist_worker.py"
+
+
+def test_two_process_train_step():
+    port = 23987
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(WORKER), str(i), "2", str(port)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+
+    losses = [re.search(r"DIST_OK process=\d loss=([\d.]+)", o).group(1)
+              for o in outs]
+    assert losses[0] == losses[1]  # same global loss on both hosts
