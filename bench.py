@@ -28,8 +28,8 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC = 347.82  # reference STL10 encode (README.md:53)
 
-BATCH = 256
-N_BATCHES = 32  # 8192 images per dispatch (STL10 test-set scale)
+BATCH = 512     # larger per-step batch: fuller MXU occupancy per layer
+N_BATCHES = 16  # 8192 images per dispatch (STL10 test-set scale)
 
 
 def main():
@@ -53,8 +53,10 @@ def main():
                       n_threads=8)
     indexes = np.arange(512, dtype=np.int32)
 
-    mean = jnp.asarray(CLIP_MEAN)
-    std = jnp.asarray(CLIP_STD)
+    # normalization folded to ONE bf16 FMA: (x/255 - mean)/std == x*a + b
+    # (keeps the uint8->bf16 preprocess a single fused pass over the image)
+    norm_a = jnp.asarray(1.0 / (255.0 * CLIP_STD), jnp.bfloat16)
+    norm_b = jnp.asarray(-CLIP_MEAN / CLIP_STD, jnp.bfloat16)
 
     # stage the dataset in HBM once (as a real deployment would); generated
     # per-batch in a scan (bounded transients) from raw random bits
@@ -76,21 +78,23 @@ def main():
 
         Symbols leave the device as int8 (small host readback) with an
         on-device overflow counter asserting the narrowing was lossless.
-        `rep` rotates the batch order so repeated timing windows are
-        distinct programsxinputs (the device runtime memoizes identical
-        dispatches).
+        `rep` perturbs the pixels so repeated timing windows are distinct
+        programsxinputs (the device runtime memoizes identical dispatches);
+        the XOR fuses into the preprocess read instead of materializing a
+        shifted copy of the whole dataset like jnp.roll would.
         """
-        rolled = jnp.roll(data, rep, axis=0)
+        rep_u8 = jnp.asarray(rep, jnp.uint8)
 
         def step(_, xb):
-            x = (xb.astype(jnp.float32) / 255.0 - mean) / std
+            xb = xb ^ rep_u8
+            x = xb.astype(jnp.bfloat16) * norm_a + norm_b
             z = model.apply({"params": params}, x)
             z_in = (z.astype(jnp.float32) + biasing) * jnp.exp(scaling)
             med = eb.medians(eb_params)[None, :]
             sym = jnp.round(z_in - med).astype(jnp.int32)
             overflow = jnp.sum(jnp.abs(sym) > 126)
             return None, (sym.astype(jnp.int8), overflow)
-        _, (syms, over) = jax.lax.scan(step, None, rolled)
+        _, (syms, over) = jax.lax.scan(step, None, data)
         return syms, over.sum()  # (N_BATCHES, BATCH, 512), scalar
 
     fn = jax.jit(encode_all)

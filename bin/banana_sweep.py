@@ -1,0 +1,53 @@
+"""Banana RD sweep with the reference training recipe (TPU, fused epochs).
+
+Reproduces the reference's banana_viz_VIC/VAE points
+(/root/reference/results/exp_banana_viz_VIC/summarized_metrics_merged.csv:
+VIC rate 2.30 bits @ distortion 0.051, VAE 4.83 @ 0.109) and sweeps extra
+betas for the RD curve. One process runs all configs sequentially (the axon
+tunnel allows a single TPU client; beta/seed ride as runtime values so the
+fused-epoch XLA program compiles once).
+
+Usage: python bin/banana_sweep.py [--quick]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from lossyless_tpu.cli import main as cli_main  # noqa: E402
+
+RUNS = [
+    ("banana_viz_VIC", 0.02, 123),
+    ("banana_viz_VIC", 0.07, 123),
+    ("banana_viz_VIC", 0.2, 123),
+    ("banana_viz_VAE", 0.07, 123),
+    ("banana_viz_VAE", 0.07, 124),
+]
+
+
+def run_all(extra=()):
+    for preset_name, beta, seed in RUNS:
+        t0 = time.time()
+        print(f"=== {preset_name} beta={beta} seed={seed}", flush=True)
+        cli_main([preset_name, f"loss.beta={beta}", f"trainer.seed={seed}",
+                  *extra])
+        print(f"=== done in {time.time() - t0:.0f}s", flush=True)
+
+    from lossyless_tpu.analysis.aggregate import ResultAggregator
+
+    agg = ResultAggregator("results")
+    agg.summarize()
+    agg.rd_curves()
+    agg.summarize_rd_curves(compare_cols=("exp",))
+    agg.invariance_rd_curve(col_dist_param="exp",
+                            noninvariant="banana_viz_VAE")
+    print(agg.df[["exp", "beta", "seed", "test/feat/rate",
+                  "test/feat/distortion", "test/feat/online_loss"]]
+          .to_string(), flush=True)
+
+
+if __name__ == "__main__":
+    extra = ["data_feat.n_epochs=2"] if "--quick" in sys.argv else []
+    run_all(extra)

@@ -36,16 +36,46 @@ class MHSA(nn.Module):
         h = self.heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, N, h, D // h).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N, h, D // h).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, h, D // h).transpose(0, 2, 1, 3)
+        # heads stay in the trailing layout (B, N, h, d): the einsums carry
+        # the permutation into the matmul instead of materializing four
+        # transposed copies per block (HBM traffic, not FLOPs, bounds this)
+        q = q.reshape(B, N, h, D // h)
+        k = k.reshape(B, N, h, D // h)
+        v = v.reshape(B, N, h, D // h)
         scale = (D // h) ** -0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                           preferred_element_type=jnp.float32)
         attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+
+class PatchEmbed(nn.Module):
+    """Patchify as block-reshape + one big matmul.
+
+    A stride=patch conv is exactly this computation; written as a matmul it
+    lands directly on the MXU with no im2col lowering. The parameter keeps
+    the conv HWIO layout and the `{"kernel": ...}` tree, so converted CLIP
+    weights (convert_openai_clip_weights) and older checkpoints are drop-in.
+    """
+
+    width: int
+    patch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        p = self.patch
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, C, self.width))
+        gh, gw = H // p, W // p
+        # (B, gh, p, gw, p, C) -> (B, gh*gw, p*p*C); the (p, p, C) flatten
+        # order matches the HWIO kernel flatten below
+        x = x.reshape(B, gh, p, gw, p, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, gh * gw, p * p * C)
+        w = kernel.astype(self.dtype).reshape(p * p * C, self.width)
+        return x @ w
 
 
 class Block(nn.Module):
@@ -84,11 +114,8 @@ class VisionTransformer(nn.Module):
     def __call__(self, x, *, training: bool = False):
         B = x.shape[0]
         x = x.astype(self.dtype)
-        # patchify: conv stride=patch -> (B, grid, grid, width)
-        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
-                    strides=self.patch_size, use_bias=False,
-                    dtype=self.dtype, name="patch_embed")(x)
-        x = x.reshape(B, -1, self.width)
+        x = PatchEmbed(self.width, self.patch_size, self.dtype,
+                       name="patch_embed")(x)
         n_patches = x.shape[1]
 
         cls = self.param("class_embedding",

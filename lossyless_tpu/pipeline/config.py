@@ -213,8 +213,17 @@ def preset(name: str) -> ExperimentConfig:
         # bin/banana/banana_viz_VIC.sh
         return ExperimentConfig(
             experiment="banana_viz_VIC",
-            data_feat=DataConfig(name="banana", batch_size=1024, n_epochs=50,
-                                 kwargs=dict(additional_target="representative")),
+            # reference recipe (bin/banana/banana_viz_VIC.sh +
+            # config/data/base_banana.yaml): 100 epochs x 1000 steps of
+            # batch 1024 (length=1024000), lr 3e-4 with exponential decay
+            # /1000 (featurizer) and /100 (coder) over training
+            data_feat=DataConfig(name="banana", batch_size=1024, n_epochs=100,
+                                 kwargs=dict(additional_target="representative",
+                                             length=1024000)),
+            optimizer_feat=OptimConfig(lr=3e-4, scheduler="expdecay",
+                                       decay_factor=1000., total_steps=0),
+            optimizer_coder=OptimConfig(lr=3e-4, scheduler="expdecay",
+                                        decay_factor=100., total_steps=0),
             encoder=EncoderConfig(
                 arch="mlp", z_dim=2, family="deterministic",
                 arch_kwargs=dict(hid_dim=1024, n_hid_layers=2,

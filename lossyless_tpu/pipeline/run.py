@@ -92,7 +92,9 @@ def _eval_dataset(cfg: ExperimentConfig, data_cfg, split: str):
 
     kwargs = dict(data_cfg.kwargs)
     if data_cfg.name == "banana":
-        kwargs.setdefault("length", 20480)
+        # fresh-sample eval sets are capped: the generative source's train
+        # length does not dictate eval size (reference val_size=100000)
+        kwargs["length"] = min(kwargs.get("length", 20480), 20480)
         kwargs["seed"] = cfg.trainer.seed + (1 if split == "validation" else 2)
         return BananaDataset(**kwargs)
     if data_cfg.name in SPECS:
@@ -149,12 +151,27 @@ def run_featurizer(cfg: ExperimentConfig):
     model = LearnableCompressor(cfg.compressor_config())
 
     bsz = cfg.data_feat.batch_size
+    limit = cfg.trainer.limit_train_batches
+    steps_per_epoch = max(1, int((len(train_ds) // bsz) * limit))
+
+    def _fill_steps(oc):
+        # schedulers declared with total_steps<=0 span the planned training
+        # (reference: scheduler epochs interpolate ${trainer.max_epochs})
+        if oc.scheduler != "none" and oc.total_steps <= 0:
+            return dataclasses.replace(
+                oc, total_steps=steps_per_epoch * cfg.data_feat.n_epochs)
+        return oc
+
+    opt_feat = _fill_steps(cfg.optimizer_feat)
+    opt_online = _fill_steps(cfg.optimizer_online)
+    opt_coder = _fill_steps(cfg.optimizer_coder)
+
     sample = next(train_ds.batches(min(bsz, len(train_ds)),
                                    seed=cfg.trainer.seed))
     state = TrainState.create(model, sample, jax.random.key(cfg.trainer.seed),
-                              main=cfg.optimizer_feat,
-                              online=cfg.optimizer_online,
-                              coder=cfg.optimizer_coder)
+                              main=opt_feat,
+                              online=opt_online,
+                              coder=opt_coder)
 
     ckpt = CheckpointManager(Path(cfg.ckpt_dir) / cfg.long_name / "feat",
                              monitor=cfg.trainer.monitor,
@@ -166,9 +183,6 @@ def run_featurizer(cfg: ExperimentConfig):
 
     logger = CsvLogger(stage_dir, "train_featurizer")
     val_ds = _val_dataset(cfg, cfg.data_feat)
-    limit = cfg.trainer.limit_train_batches
-
-    steps_per_epoch = max(1, int((len(train_ds) // bsz) * limit))
     start_epoch = int(state.step) // steps_per_epoch
 
     # fused path: datasets exposing a device sampler train each epoch as ONE

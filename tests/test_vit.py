@@ -134,3 +134,23 @@ def test_remat_matches_forward_and_grads():
                       jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_patch_embed_equals_strided_conv():
+    """The matmul patchify is numerically the stride=patch conv it replaces."""
+    import jax.numpy as jnp
+    from jax import lax
+    from lossyless_tpu.nn.vit import PatchEmbed
+
+    m = PatchEmbed(width=16, patch=8, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 24, 24, 5)).astype(np.float32))
+    v = m.init(jax.random.key(0), x)
+    out = m.apply(v, x)
+
+    conv = lax.conv_general_dilated(
+        x, v["params"]["kernel"], window_strides=(8, 8), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(conv).reshape(3, -1, 16),
+                               rtol=1e-5, atol=1e-5)
