@@ -80,6 +80,11 @@ class ExperimentConfig:
 
     trainer: TrainerConfig = field(default_factory=TrainerConfig)
 
+    # parameter-subtree names receiving zero updates — the reference's
+    # Freezer callback (callbacks.py:503-531) for staggered training, e.g.
+    # ("p_ZlX",) freezes the encoder in a stag_step2 run
+    frozen: tuple = ()
+
     # filled from the dataset at runtime (main.py:346-373)
     in_shape: Any = None
     target_shape: Any = None
@@ -289,4 +294,127 @@ def preset(name: str) -> ExperimentConfig:
                                     arch_kwargs=dict(hid_dim=512)),
             loss=LossConfig(beta=0.05),
         )
+    if name in ("banana_viz_BINCE", "banana_bince"):
+        # bin/banana/banana_viz_BINCE.sh: contrastive distortion on banana
+        cfg = preset("banana_viz_VIC")
+        cfg.experiment = "banana_viz_BINCE"
+        cfg.data_feat.kwargs["additional_target"] = "equiv_x"
+        cfg.distortion = DistortionConfig(mode="contrastive", project_dim=2,
+                                          temperature=0.1)
+        return cfg
+    if name in ("banana_viz_VIC_trnslt",):
+        # bin/banana/banana_viz_VIC_trnslt.sh: translation equivalence
+        cfg = preset("banana_viz_VIC")
+        cfg.experiment = "banana_viz_VIC_trnslt"
+        cfg.data_feat.kwargs["equivalence"] = "y_translation"
+        return cfg
+    if name in ("augmnist_RD", "mnist_RD"):
+        # bin/mnist/augmnist_RD.sh: the beta-sweep base config
+        cfg = preset("mnist_vic")
+        cfg.experiment = "augmnist_RD"
+        return cfg
+    if name in ("mnist_stag_step1", "augmnist_stag_step1"):
+        # bin/mnist/augmnist_stag_step1.sh: train everything, export weights
+        cfg = preset("mnist_vic")
+        cfg.experiment = "augmnist_stag"
+        cfg.is_only_feat = True
+        return cfg
+    if name in ("mnist_stag_step2", "augmnist_stag_step2"):
+        # step2: frozen encoder, retrain the rate estimator on top
+        # (reference Freezer callback freezes the featurizer's encoder)
+        cfg = preset("mnist_vic")
+        cfg.experiment = "augmnist_stag"
+        cfg.frozen = ("p_ZlX",)
+        return cfg
+    if name in ("stl10_balle",):
+        # bin/stl10/STL10_balle.sh: Balle-style conv autoencoder + spatial
+        # hyperprior (the classic image-compression config)
+        return ExperimentConfig(
+            experiment="stl10_balle",
+            data_feat=DataConfig(name="stl10", batch_size=64, n_epochs=20,
+                                 kwargs=dict(additional_target="input")),
+            encoder=EncoderConfig(arch="balle", z_dim=128,
+                                  arch_kwargs=dict(hid_dim=64)),
+            rate=RateConfig(mode="H_spatial", n_channels=64),
+            distortion=DistortionConfig(mode="direct", data_mode="image",
+                                        arch_kwargs=dict(hid_dim=64)),
+            online=OnlineEvalConfig(is_online=True,
+                                    arch_kwargs=dict(hid_dim=512)),
+            loss=LossConfig(beta=0.1),
+        )
+    if name in ("stl10_rate_variation",):
+        # bin/stl10/STL10_rate_variation.sh: sweep rate.mode over this base
+        cfg = preset("stl10_bince")
+        cfg.experiment = "stl10_rate_variation"
+        return cfg
+    if name in ("stl10_dist_variation",):
+        # bin/stl10/STL10_dist_variation_*.sh: sweep distortion.mode
+        cfg = preset("stl10_bince")
+        cfg.experiment = "stl10_dist_variation"
+        return cfg
+    if name in ("clip_bottleneck_pretrain",):
+        # bin/clip/clip_bottleneck_pretrain.sh: compress CLIP features of
+        # COCO captions (z=512, lossy_Z, 30 epochs, featurizer only)
+        return ExperimentConfig(
+            experiment="clip_bottleneck_pretrain",
+            is_only_feat=True,
+            data_feat=DataConfig(name="coco_clip", batch_size=128,
+                                 n_epochs=30, kwargs=dict()),
+            encoder=EncoderConfig(arch="clip", z_dim=512),
+            rate=RateConfig(mode="H_factorized", eb_filters=(3, 3, 3, 3),
+                            is_endToEnd=False),
+            distortion=DistortionConfig(mode="lossy_Z"),
+            online=OnlineEvalConfig(is_online=False),
+            loss=LossConfig(beta=0.05),
+        )
+    if name in ("ssl_bottleneck_pretrain",):
+        # bin/ssl/bottleneck_pretrain.sh: same bottleneck on SSL ResNet-50
+        # towers; switch tower via encoder.arch={clip_rn50,simclr,swav}
+        cfg = preset("clip_bottleneck_pretrain")
+        cfg.experiment = "ssl_bottleneck_pretrain"
+        cfg.encoder = EncoderConfig(arch="clip_rn50", z_dim=2048)
+        cfg.loss = dataclasses.replace(cfg.loss, beta=1e-3)
+        return cfg
+    if name in ("galaxy_regression", "galaxy_neurips"):
+        # bin/galaxy/GalaxyZoo_neurips_final.sh: 37-task regression
+        return ExperimentConfig(
+            experiment="galaxy_regression",
+            data_feat=DataConfig(name="galaxy_zoo", batch_size=128,
+                                 n_epochs=20, kwargs=dict()),
+            encoder=EncoderConfig(arch="resnet", z_dim=128),
+            rate=RateConfig(mode="H_factorized"),
+            distortion=DistortionConfig(mode="direct",
+                                        data_mode="distribution",
+                                        is_classification=False,
+                                        arch_kwargs=dict(hid_dim=512)),
+            online=OnlineEvalConfig(is_online=True, is_classification=False,
+                                    arch_kwargs=dict(hid_dim=512)),
+            loss=LossConfig(beta=0.01),
+            predictor=PredictorConfig(is_classification=False),
+        )
+    if name in ("clip_bottleneck_linear_eval",):
+        # bin/clip/clip_bottleneck_linear_eval.sh: linear probe on the
+        # frozen compressed features of a downstream dataset (set
+        # data_pred.name=<dataset> on the CLI to pick the probe dataset)
+        cfg = preset("clip_lossyZ")
+        cfg.experiment = "clip_bottleneck_linear_eval"
+        cfg.predictor = PredictorConfig(arch="linear", arch_kwargs={},
+                                        n_epochs=20)
+        return cfg
+    if name in ("clip_bottleneck_mlp_eval",):
+        cfg = preset("clip_bottleneck_linear_eval")
+        cfg.experiment = "clip_bottleneck_mlp_eval"
+        cfg.predictor = PredictorConfig()  # the default 2048-wide MLP probe
+        return cfg
     raise ValueError(f"unknown preset {name!r}")
+
+
+def available_presets() -> list[str]:
+    """Canonical preset names (one per reference experiment group)."""
+    return ["banana_viz_VIC", "banana_viz_VAE", "banana_viz_BINCE",
+            "banana_viz_VIC_trnslt", "mnist_vic", "augmnist_RD",
+            "mnist_stag_step1", "mnist_stag_step2", "stl10_bince",
+            "stl10_balle", "stl10_rate_variation", "stl10_dist_variation",
+            "clip_lossyZ", "clip_bottleneck_pretrain",
+            "ssl_bottleneck_pretrain", "clip_bottleneck_linear_eval",
+            "clip_bottleneck_mlp_eval", "galaxy_regression"]

@@ -171,7 +171,8 @@ def run_featurizer(cfg: ExperimentConfig):
     state = TrainState.create(model, sample, jax.random.key(cfg.trainer.seed),
                               main=opt_feat,
                               online=opt_online,
-                              coder=opt_coder)
+                              coder=opt_coder,
+                              frozen_paths=tuple(cfg.frozen))
 
     ckpt = CheckpointManager(Path(cfg.ckpt_dir) / cfg.long_name / "feat",
                              monitor=cfg.trainer.monitor,
