@@ -47,6 +47,10 @@ def main():
 
     model = vit_b32()
     params = model.init(jax.random.key(0), jnp.zeros((8, 224, 224, 3)))["params"]
+    # store weights bf16: the matmuls consume bf16 anyway, and fp32 storage
+    # would make every scan step re-read 2x the bytes just to downcast
+    # (LayerNorm params are upcast back to fp32 inside the fp32 LN islands)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
     tables = eb.build_cdf_tables(eb_params_np)
     # cap coder threads: leave cores free for the device-readback path
     codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset,
