@@ -48,6 +48,25 @@ def run_all(extra=()):
           .to_string(), flush=True)
 
 
+def make_viz():
+    """Regenerate the banana visualization artifacts (codebook plot, max-
+    invariant distribution) from the trained beta=0.07 VIC weights
+    (reference load_pretrained.mode=[codebook_plot,maxinv_distribution_plot])."""
+    from lossyless_tpu.analysis.pretrained import PretrainedAnalyser
+    from lossyless_tpu.pipeline.config import apply_overrides, preset
+
+    cfg = apply_overrides(preset("banana_viz_VIC"),
+                          ["loss.beta=0.07", "trainer.seed=123"])
+    an = PretrainedAnalyser(cfg)
+    out = Path("results/exp_banana_viz_VIC")
+    print(an.codebook_plot(out / "codebook.png"))
+    print(an.maxinv_distribution_plot(out / "maxinv.png"))
+
+
 if __name__ == "__main__":
+    if "--viz-only" in sys.argv:
+        make_viz()
+        sys.exit(0)
     extra = ["data_feat.n_epochs=2"] if "--quick" in sys.argv else []
     run_all(extra)
+    make_viz()
