@@ -57,7 +57,11 @@ class ClipCompressor:
         if clip_params is None:
             dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
             clip_params = self.model.init(jax.random.key(seed), dummy)["params"]
-        self.clip_params = clip_params
+        # store tower weights in the compute dtype: fp32 storage would make
+        # every forward re-read 2x the bytes just to downcast (LayerNorm
+        # params are upcast back inside the fp32 LN islands)
+        self.clip_params = jax.tree.map(lambda p: jnp.asarray(p, dtype),
+                                        clip_params)
         self.eb_params = {k: jnp.asarray(v) for k, v in eb_params.items()}
         self.scaling = jnp.asarray(scaling, jnp.float32)
         self.biasing = jnp.asarray(biasing, jnp.float32)
