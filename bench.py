@@ -52,9 +52,9 @@ def main():
     # (LayerNorm params are upcast back to fp32 inside the fp32 LN islands)
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
     tables = eb.build_cdf_tables(eb_params_np)
-    # cap coder threads: leave cores free for the device-readback path
-    codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset,
-                      n_threads=8)
+    # auto thread count (cpu_count-matched): oversubscribing a small host
+    # only adds scheduler churn alongside the device-readback path
+    codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset)
     indexes = np.arange(512, dtype=np.int32)
 
     # normalization folded to ONE bf16 FMA: (x/255 - mean)/std == x*a + b
@@ -102,10 +102,12 @@ def main():
         return syms, over.sum()  # (N_BATCHES, BATCH, 512), scalar
 
     fn = jax.jit(encode_all)
-    # compile + warm
+    # compile + warm (incl. one full-size codec call: the first batch encode
+    # pre-faults the reused output buffer, a one-time kernel-side cost)
     syms, over = fn(params, data, 99)
-    np.asarray(syms)
+    warm_syms = np.asarray(syms).reshape(-1, 512).astype(np.int32)
     assert int(over) == 0
+    codec.encode_batch(warm_syms, indexes)
 
     n_imgs = BATCH * N_BATCHES
     pool = ThreadPoolExecutor(max_workers=1)

@@ -288,6 +288,19 @@ class RansCodec:
         self.offsets = _as_i32(offsets)
         self.n_threads = n_threads or min(16, os.cpu_count() or 1)
         self._use_native = bool(_get_lib())
+        # Reused per-thread encode scratch: allocating the (generously sized)
+        # output buffer fresh per call mmap/munmaps hundreds of MB per batch,
+        # which triggers multi-second kernel page-management stalls on small
+        # VMs. One pre-faulted buffer per thread amortizes that away.
+        self._scratch = threading.local()
+
+    def _encode_buffer(self, need: int) -> np.ndarray:
+        buf = getattr(self._scratch, "buf", None)
+        if buf is None or buf.size < need:
+            buf = np.empty(need, dtype=np.uint8)
+            buf[:: 4096] = 0  # pre-fault pages once, off the hot path
+            self._scratch.buf = buf
+        return buf
 
     def _check_indexes(self, indexes: np.ndarray):
         """Bounds-check before handing pointers to the native layer."""
@@ -354,7 +367,7 @@ class RansCodec:
             ]
         lib = _get_lib()
         per_cap = 4 * (m * 12 + 32)
-        out = np.empty(batch * per_cap, dtype=np.uint8)
+        out = self._encode_buffer(batch * per_cap)
         lengths = np.empty(batch, dtype=np.int64)
         total = lib.rans_encode_batch(
             _ptr(symbols, ctypes.c_int32), batch, m,
@@ -416,7 +429,7 @@ class RansCodec:
             ]
         lib = _get_lib()
         per_cap = 4 * (m * 12 + 32)
-        out = np.empty(batch * per_cap, dtype=np.uint8)
+        out = self._encode_buffer(batch * per_cap)
         lengths = np.empty(batch, dtype=np.int64)
         total = lib.rans_encode_batch_varidx(
             _ptr(symbols, ctypes.c_int32), batch, m,
