@@ -25,28 +25,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _use_pallas_attention() -> bool:
+    """Pallas fused attention on real TPU backends; einsum elsewhere."""
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class MHSA(nn.Module):
+    """Multi-head self-attention.
+
+    On TPU the whole attention (per-head logits, softmax, weighted values)
+    runs as one Pallas kernel straight off the fused qkv projection in its
+    natural (B, N, 3D) layout (`nn/flash_attn.py`): at ViT-B/32's 50-token
+    sequences the XLA einsum lowering otherwise forces transposed layouts on
+    the surrounding LayerNorms/Dense layers and round-trips fp32 logits
+    through HBM — profiled at ~45% of the forward step.
+    """
+
     width: int
     heads: int
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"  # auto | pallas | einsum
 
     @nn.compact
     def __call__(self, x):
         B, N, D = x.shape
         h = self.heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        # heads stay in the trailing layout (B, N, h, d): the einsums carry
-        # the permutation into the matmul instead of materializing four
-        # transposed copies per block (HBM traffic, not FLOPs, bounds this)
-        q = q.reshape(B, N, h, D // h)
-        k = k.reshape(B, N, h, D // h)
-        v = v.reshape(B, N, h, D // h)
-        scale = (D // h) ** -0.5
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, D)
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "pallas" if _use_pallas_attention() else "einsum"
+        if impl == "pallas":
+            from lossyless_tpu.nn.flash_attn import fused_attention
+
+            out = fused_attention(qkv, h)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, h, D // h)
+            k = k.reshape(B, N, h, D // h)
+            v = v.reshape(B, N, h, D // h)
+            scale = (D // h) ** -0.5
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 
 
@@ -79,16 +105,29 @@ class PatchEmbed(nn.Module):
 
 
 class Block(nn.Module):
+    """Pre-LN transformer block.
+
+    LayerNorm statistics in fp32 (body bf16); eps=1e-5 matches torch's
+    LayerNorm, which the published CLIP weights were trained with (flax
+    defaults to 1e-6). Keeping the LNs as plain flax ops measured FASTER
+    than a Pallas add+LN kernel: XLA fuses them cleanly once the attention
+    einsums (whose layout preferences caused the transposed-LN problem) are
+    replaced by the Pallas attention kernel.
+    """
+
     width: int
     heads: int
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
-        # LayerNorm statistics in fp32 for stability; body in bf16
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
-        x = x + MHSA(self.width, self.heads, self.dtype, name="attn")(y)
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
+        y = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                         name="ln_1")(x).astype(self.dtype)
+        x = x + MHSA(self.width, self.heads, self.dtype, self.attn_impl,
+                     name="attn")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                         name="ln_2")(x).astype(self.dtype)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
         y = y * nn.sigmoid(1.702 * y)  # QuickGELU
         y = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(y)
@@ -109,6 +148,7 @@ class VisionTransformer(nn.Module):
     # ~33% more forward FLOPs for O(layers) less activation memory — for
     # fine-tuning the tower at large batch on memory-constrained chips
     remat: bool = False
+    attn_impl: str = "auto"  # auto (pallas on TPU) | pallas | einsum
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -133,13 +173,15 @@ class VisionTransformer(nn.Module):
                          nn.initializers.normal(0.02), (n_tokens, self.width))
         x = x + pos.astype(self.dtype)[None]
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                         name="ln_pre")(x).astype(self.dtype)
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.layers):
-            x = block_cls(self.width, self.heads, self.dtype,
+            x = block_cls(self.width, self.heads, self.dtype, self.attn_impl,
                           name=f"block{i}")(x)
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0])
+        x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                         name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (self.width, self.out_dim))
         return (x.astype(self.dtype) @ proj.astype(self.dtype)).astype(jnp.float32)
