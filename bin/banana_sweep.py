@@ -27,6 +27,22 @@ RUNS = [
 ]
 
 
+def publish(src="results", dst="artifacts/banana"):
+    """Copy the sweep's summary CSVs + plots into the tracked artifacts dir
+    (results/ is gitignored as a live scratch area)."""
+    import shutil
+
+    src, dst = Path(src), Path(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    for pat in ("summarized_metrics_merged.csv", "rd_curves.png",
+                "rd_curve_summary.csv", "invariance_rd.png",
+                "exp_banana_viz_VIC/codebook.png",
+                "exp_banana_viz_VIC/maxinv.png"):
+        for f in src.glob(pat):
+            shutil.copy2(f, dst / f.name)
+            print(f"published {f} -> {dst / f.name}", flush=True)
+
+
 def run_all(extra=()):
     for preset_name, beta, seed in RUNS:
         t0 = time.time()
@@ -66,7 +82,9 @@ def make_viz():
 if __name__ == "__main__":
     if "--viz-only" in sys.argv:
         make_viz()
+        publish()
         sys.exit(0)
     extra = ["data_feat.n_epochs=2"] if "--quick" in sys.argv else []
     run_all(extra)
     make_viz()
+    publish()

@@ -54,9 +54,9 @@ class TextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
+        y = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5, name="ln_1")(x).astype(self.dtype)
         x = x + CausalMHSA(self.width, self.heads, self.dtype, name="attn")(y)
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
+        y = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5, name="ln_2")(x).astype(self.dtype)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
         y = y * nn.sigmoid(1.702 * y)  # QuickGELU
         y = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(y)
@@ -87,7 +87,7 @@ class TextTransformer(nn.Module):
         for i in range(self.layers):
             x = TextBlock(self.width, self.heads, self.dtype,
                           name=f"block{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5, name="ln_final")(x)
         # pool at the <end> token (highest token id per row, CLIP convention)
         eot = jnp.argmax(token_ids, axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eot]

@@ -407,15 +407,88 @@ def preset(name: str) -> ExperimentConfig:
         cfg.experiment = "clip_bottleneck_mlp_eval"
         cfg.predictor = PredictorConfig()  # the default 2048-wide MLP probe
         return cfg
+    if name in ("banana_RD",):
+        # bin/banana/banana_RD.sh: the beta-sweep base over the rotated
+        # banana (sweep loss.beta on the CLI / via pipeline.hypopt)
+        cfg = preset("banana_viz_VIC")
+        cfg.experiment = "banana_RD"
+        return cfg
+    if name in ("clip_raw_linear_eval",):
+        # bin/clip/clip_raw_linear_eval.sh: RAW frozen CLIP features — no
+        # entropy bottleneck (lossless rate), featurizer kept at init
+        # (featurizer.is_use_init=True -> n_epochs=0), LinearSVC probe
+        cfg = preset("clip_bottleneck_linear_eval")
+        cfg.experiment = "clip_raw_linear_eval"
+        cfg.rate = RateConfig(mode="lossless")
+        cfg.data_feat = dataclasses.replace(cfg.data_feat, n_epochs=0)
+        return cfg
+    if name in ("clip_raw_mlp_eval",):
+        # bin/clip/clip_raw_mlp_eval.sh
+        cfg = preset("clip_raw_linear_eval")
+        cfg.experiment = "clip_raw_mlp_eval"
+        cfg.predictor = PredictorConfig()
+        return cfg
+    if name in ("augmnist_aug", "augmnist_aug_warm"):
+        # bin/mnist/augmnist_aug{,_warm}.sh: augmentation-impact study —
+        # resnet encoder, H_hyper rate, probe trained on augmented MNIST;
+        # the _warm variant anneals beta up over training
+        cfg = preset("mnist_vic")
+        cfg.experiment = name
+        cfg.encoder = EncoderConfig(arch="resnet", z_dim=128)
+        cfg.data_feat = dataclasses.replace(cfg.data_feat, n_epochs=100)
+        cfg.data_pred = DataConfig(name="mnist", batch_size=256,
+                                   kwargs=dict(additional_target="representative"))
+        if name.endswith("_warm"):
+            cfg.loss = dataclasses.replace(cfg.loss, beta_anneal="linear",
+                                           n_steps_anneal=5000)
+        else:
+            cfg.loss = dataclasses.replace(cfg.loss, beta_anneal="constant")
+        return cfg
+    if name in ("stl10_action_dist_shift", "stl10_understand_VIC"):
+        # bin/stl10/STL10_action_dist_shift.sh / STL10_understand_VIC.sh:
+        # featurizer on (unlabeled) STL10, predictor under augmentation
+        # distribution shift; VIC distortion, H_hyper rate, MLP probe
+        return ExperimentConfig(
+            experiment=name,
+            data_feat=DataConfig(name="stl10", batch_size=256, n_epochs=100,
+                                 kwargs=dict(additional_target="representative")),
+            data_pred=DataConfig(name="stl10", batch_size=256),
+            encoder=EncoderConfig(arch="resnet", z_dim=128),
+            rate=RateConfig(mode="H_hyper"),
+            distortion=DistortionConfig(mode="direct", data_mode="image",
+                                        arch_kwargs=dict(hid_dim=64)),
+            online=OnlineEvalConfig(is_online=True,
+                                    arch_kwargs=dict(hid_dim=512)),
+            loss=LossConfig(beta=0.1),
+        )
+    if name in ("ssl_bottleneck_linear_eval",):
+        # bin/ssl/bottleneck_linear_eval.sh: probe the compressed SSL
+        # (ResNet-50) features with a linear head
+        cfg = preset("ssl_bottleneck_pretrain")
+        cfg.experiment = "ssl_bottleneck_linear_eval"
+        cfg.is_only_feat = False
+        cfg.predictor = PredictorConfig(arch="linear", arch_kwargs={},
+                                        n_epochs=20)
+        return cfg
+    if name in ("ssl_bottleneck_mlp_eval",):
+        # bin/ssl/bottleneck_mlp_eval.sh
+        cfg = preset("ssl_bottleneck_linear_eval")
+        cfg.experiment = "ssl_bottleneck_mlp_eval"
+        cfg.predictor = PredictorConfig()
+        return cfg
     raise ValueError(f"unknown preset {name!r}")
 
 
 def available_presets() -> list[str]:
     """Canonical preset names (one per reference experiment group)."""
     return ["banana_viz_VIC", "banana_viz_VAE", "banana_viz_BINCE",
-            "banana_viz_VIC_trnslt", "mnist_vic", "augmnist_RD",
+            "banana_viz_VIC_trnslt", "banana_RD", "mnist_vic", "augmnist_RD",
+            "augmnist_aug", "augmnist_aug_warm",
             "mnist_stag_step1", "mnist_stag_step2", "stl10_bince",
             "stl10_balle", "stl10_rate_variation", "stl10_dist_variation",
+            "stl10_action_dist_shift", "stl10_understand_VIC",
             "clip_lossyZ", "clip_bottleneck_pretrain",
-            "ssl_bottleneck_pretrain", "clip_bottleneck_linear_eval",
-            "clip_bottleneck_mlp_eval", "galaxy_regression"]
+            "ssl_bottleneck_pretrain", "ssl_bottleneck_linear_eval",
+            "ssl_bottleneck_mlp_eval", "clip_bottleneck_linear_eval",
+            "clip_bottleneck_mlp_eval", "clip_raw_linear_eval",
+            "clip_raw_mlp_eval", "galaxy_regression"]
