@@ -35,7 +35,7 @@ def publish(src="results", dst="artifacts/banana"):
     src, dst = Path(src), Path(dst)
     dst.mkdir(parents=True, exist_ok=True)
     for pat in ("summarized_metrics_merged.csv", "rd_curves.png",
-                "rd_curve_summary.csv", "invariance_rd.png",
+                "summarized_RD_curves_merged.csv", "invariance_RD_curve.png",
                 "exp_banana_viz_VIC/codebook.png",
                 "exp_banana_viz_VIC/maxinv.png"):
         for f in src.glob(pat):
@@ -55,7 +55,7 @@ def run_all(extra=()):
 
     agg = ResultAggregator("results")
     agg.summarize()
-    agg.rd_curves()
+    agg.rd_curves(hue="exp")  # VIC and VAE are separate curves
     agg.summarize_rd_curves(compare_cols=("exp",))
     agg.invariance_rd_curve(col_dist_param="exp",
                             noninvariant="banana_viz_VAE")

@@ -101,6 +101,11 @@ def codebook_plot(encode_quantize_fn, decode_fn, out_path, xlim=(-5, 5),
         ax.scatter(points[:, 0], points[:, 1], c="k", s=12, marker="o",
                    label="codebook")
         ax.legend(loc="upper right")
+    # cells far outside the data manifold can decode to extreme points;
+    # keep the view on the plotted source region (reference plots the
+    # codebook over the quantization-cell image, callbacks.py:322-336)
+    ax.set_xlim(*xlim)
+    ax.set_ylim(*ylim)
     ax.set_xlabel("Source dim. 1")
     ax.set_ylabel("Source dim. 2")
     ax.set_title(f"{len(np.unique(cell_ids))} quantization cells")
