@@ -74,13 +74,22 @@ def _block_size(B: int, limit: int = 16) -> int:
     return 1
 
 
+def _resolve_interpret(interpret) -> bool:
+    """None -> interpreter mode on non-TPU backends (CPU tests)."""
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_attention(qkv: jnp.ndarray, heads: int,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool | None = None) -> jnp.ndarray:
     """Fused MHSA from a (B, N, 3D) qkv tensor -> (B, N, D).
 
-    `interpret=True` runs the kernel in the Pallas interpreter (CPU tests).
+    `interpret=True` runs the kernel in the Pallas interpreter; the default
+    (None) picks it automatically on non-TPU backends.
     """
+    interpret = _resolve_interpret(interpret)
     B, N, threeD = qkv.shape
     D = threeD // 3
     G = _block_size(B)
@@ -108,3 +117,101 @@ def _fused_attention_bwd(heads, interpret, qkv, g):
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP half-block: x + proj(QuickGELU(fc(LN(x))))
+#
+# Two thirds of the tower's FLOPs are the per-block MLP; XLA materializes the
+# (B, N, 4D) hidden activation in HBM between the two matmuls and lays the
+# LayerNorm out against the dot's preference. One kernel keeps LN statistics,
+# both matmuls, the QuickGELU, and the residual add in VMEM per image block.
+# ---------------------------------------------------------------------------
+
+
+def _reference_mlp_block(x, ln_scale, ln_bias, fc_w, fc_b, pr_w, pr_b,
+                         eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * ln_scale + ln_bias).astype(x.dtype)
+    h = y @ fc_w.astype(x.dtype) + fc_b.astype(x.dtype)
+    h = h * jax.nn.sigmoid(1.702 * h)
+    return x + (h @ pr_w.astype(x.dtype) + pr_b.astype(x.dtype))
+
+
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, fcw_ref, fcb_ref, prw_ref, prb_ref,
+                out_ref, *, eps: float):
+    G, N, D = x_ref.shape
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * lns_ref[:].astype(jnp.float32)
+         + lnb_ref[:].astype(jnp.float32)).astype(x.dtype)
+    h = jax.lax.dot_general(
+        y.reshape(G * N, D), fcw_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = (h.astype(x.dtype) + fcb_ref[:])
+    h = h * jax.nn.sigmoid(1.702 * h)
+    o = jax.lax.dot_general(
+        h, prw_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[:] = x + (o.astype(x.dtype) + prb_ref[:]).reshape(G, N, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_mlp_block(x, ln_scale, ln_bias, fc_w, fc_b, pr_w, pr_b,
+                    eps: float = 1e-5, block_b: int = 8,
+                    interpret: bool | None = None):
+    """`x + proj(QuickGELU(fc(LayerNorm(x))))` as one Pallas kernel.
+
+    Weights ride in VMEM across the whole grid (their block index is
+    constant, so they are fetched once); the (G, N, 4D) hidden never touches
+    HBM. Backward recomputes through the reference formulation.
+    """
+    interpret = _resolve_interpret(interpret)
+    B, N, D = x.shape
+    G = _block_size(B, block_b)
+    H4 = fc_w.shape[1]
+    # weights ride in VMEM in the compute dtype (fp32 masters would double
+    # the ~9.4MB footprint past the VMEM budget)
+    fc_w, fc_b = fc_w.astype(x.dtype), fc_b.astype(x.dtype)
+    pr_w, pr_b = pr_w.astype(x.dtype), pr_b.astype(x.dtype)
+
+    def vspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        grid=(B // G,),
+        in_specs=[
+            vspec((G, N, D), lambda i: (i, 0, 0)),
+            vspec((1, D), lambda i: (0, 0)),
+            vspec((1, D), lambda i: (0, 0)),
+            vspec((D, H4), lambda i: (0, 0)),
+            vspec((1, H4), lambda i: (0, 0)),
+            vspec((H4, D), lambda i: (0, 0)),
+            vspec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=vspec((G, N, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
+      fc_w, fc_b.reshape(1, H4), pr_w, pr_b.reshape(1, D))
+
+
+def _fused_mlp_fwd(x, lns, lnb, fcw, fcb, prw, prb, eps, block_b, interpret):
+    out = fused_mlp_block(x, lns, lnb, fcw, fcb, prw, prb, eps, block_b,
+                          interpret)
+    return out, (x, lns, lnb, fcw, fcb, prw, prb)
+
+
+def _fused_mlp_bwd(eps, block_b, interpret, res, g):
+    _, vjp = jax.vjp(lambda *a: _reference_mlp_block(*a, eps), *res)
+    return vjp(g)
+
+
+fused_mlp_block.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

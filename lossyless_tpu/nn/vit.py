@@ -104,6 +104,31 @@ class PatchEmbed(nn.Module):
         return x @ w
 
 
+class _LNParams(nn.Module):
+    """Param holder with nn.LayerNorm's tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _DenseParams(nn.Module):
+    """Param holder with nn.Dense's tree ({kernel, bias})."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.features_in, self.features_out)),
+                self.param("bias", nn.initializers.zeros,
+                           (self.features_out,)))
+
+
 class Block(nn.Module):
     """Pre-LN transformer block.
 
@@ -113,12 +138,17 @@ class Block(nn.Module):
     than a Pallas add+LN kernel: XLA fuses them cleanly once the attention
     einsums (whose layout preferences caused the transposed-LN problem) are
     replaced by the Pallas attention kernel.
+
+    `mlp_impl="pallas"` additionally runs the whole MLP half-block
+    (LN2 -> fc -> QuickGELU -> proj -> residual) as one VMEM kernel
+    (`nn/flash_attn.py::fused_mlp_block`); the param tree is unchanged.
     """
 
     width: int
     heads: int
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    mlp_impl: str = "xla"  # xla | pallas
 
     @nn.compact
     def __call__(self, x):
@@ -126,6 +156,15 @@ class Block(nn.Module):
                          name="ln_1")(x).astype(self.dtype)
         x = x + MHSA(self.width, self.heads, self.dtype, self.attn_impl,
                      name="attn")(y)
+        if self.mlp_impl == "pallas":
+            from lossyless_tpu.nn.flash_attn import fused_mlp_block
+
+            lns, lnb = _LNParams(self.width, name="ln_2")()
+            fcw, fcb = _DenseParams(self.width, 4 * self.width,
+                                    name="mlp_fc")()
+            prw, prb = _DenseParams(4 * self.width, self.width,
+                                    name="mlp_proj")()
+            return fused_mlp_block(x, lns, lnb, fcw, fcb, prw, prb)
         y = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
                          name="ln_2")(x).astype(self.dtype)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
@@ -149,6 +188,7 @@ class VisionTransformer(nn.Module):
     # fine-tuning the tower at large batch on memory-constrained chips
     remat: bool = False
     attn_impl: str = "auto"  # auto (pallas on TPU) | pallas | einsum
+    mlp_impl: str = "xla"    # xla | pallas (fused MLP half-block)
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -178,7 +218,7 @@ class VisionTransformer(nn.Module):
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.layers):
             x = block_cls(self.width, self.heads, self.dtype, self.attn_impl,
-                          name=f"block{i}")(x)
+                          self.mlp_impl, name=f"block{i}")(x)
 
         x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
                          name="ln_post")(x[:, 0])

@@ -36,6 +36,51 @@ def test_grad_routes_through_einsum():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_mlp_block_matches_reference():
+    from lossyless_tpu.nn.flash_attn import (_reference_mlp_block,
+                                             fused_mlp_block)
+
+    D = 64
+    ks = jax.random.split(jax.random.key(1), 7)
+    x = jax.random.normal(ks[0], (4, 10, D), jnp.float32)
+    args = (x,
+            jax.random.normal(ks[1], (D,)) * 0.1 + 1,
+            jax.random.normal(ks[2], (D,)) * 0.1,
+            jax.random.normal(ks[3], (D, 4 * D)) * 0.05,
+            jax.random.normal(ks[4], (4 * D,)) * 0.05,
+            jax.random.normal(ks[5], (4 * D, D)) * 0.05,
+            jax.random.normal(ks[6], (D,)) * 0.05)
+    out_k = fused_mlp_block(*args, 1e-5, 8, True)
+    out_r = _reference_mlp_block(*args)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda *a: fused_mlp_block(*a, 1e-5, 8, True).sum())(*args)
+    g2 = jax.grad(lambda *a: _reference_mlp_block(*a).sum())(*args)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_vit_mlp_impl_pallas_same_tree_and_output():
+    """mlp_impl=pallas keeps the param tree and the numerics."""
+    from lossyless_tpu.nn.vit import VisionTransformer
+
+    kw = dict(patch_size=32, width=64, layers=2, heads=2, out_dim=16,
+              dtype=jnp.float32, attn_impl="einsum")
+    m0 = VisionTransformer(**kw)
+    m1 = VisionTransformer(mlp_impl="pallas", **kw)
+    x = jax.random.normal(jax.random.key(0), (2, 224, 224, 3))
+    v0 = m0.init(jax.random.key(1), x)
+    v1 = m1.init(jax.random.key(1), x)
+    t0 = jax.tree_util.tree_structure(v0)
+    t1 = jax.tree_util.tree_structure(v1)
+    assert t0 == t1
+    z0 = m0.apply(v0, x)
+    z1 = m1.apply(v0, x)  # same params through the fused path
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_odd_batch_sizes():
     """Block size falls back to a divisor of B (worst case 1)."""
     for B in (1, 3, 7):
