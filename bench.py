@@ -32,7 +32,33 @@ BATCH = 512     # larger per-step batch: fuller MXU occupancy per layer
 N_BATCHES = 16  # 8192 images per dispatch (STL10 test-set scale)
 
 
+def _probe_device(timeout_s: float = 180.0) -> None:
+    """Fail fast if the device (or its tunnel) is unresponsive.
+
+    A wedged TPU-tunnel client blocks inside backend init holding the GIL
+    (an in-process watchdog thread can never fire), so probe from a child
+    process with a hard timeout; better a clean nonzero exit than an
+    indefinite hang.
+    """
+    import subprocess
+    import sys
+
+    code = "import jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        ok = r.returncode == 0 and b"64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(f"bench: device unresponsive after {timeout_s:.0f}s "
+              "(TPU tunnel wedged?)", file=sys.stderr, flush=True)
+        sys.exit(3)
+
+
 def main():
+    _probe_device()
+
     from lossyless_tpu.coding import entropy_bottleneck as eb
     from lossyless_tpu.coding.rans import RansCodec
     from lossyless_tpu.hub.load_reference import load_factorized_rate
