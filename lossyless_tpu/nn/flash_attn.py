@@ -155,7 +155,10 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, fcw_ref, fcb_ref, prw_ref, prb_ref,
         y.reshape(G * N, D), fcw_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h = (h.astype(x.dtype) + fcb_ref[:])
-    h = h * jax.nn.sigmoid(1.702 * h)
+    # QuickGELU with every constant dtype-pinned: Mosaic rejects the weak
+    # f32 scalar broadcasts jax.nn.sigmoid's lowering produces for bf16
+    one = jnp.asarray(1.0, h.dtype)
+    h = h * (one / (one + jnp.exp(jnp.asarray(-1.702, h.dtype) * h)))
     o = jax.lax.dot_general(
         h, prw_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
