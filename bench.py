@@ -42,18 +42,25 @@ def _probe_device(timeout_s: float = 180.0) -> None:
     """
     import subprocess
     import sys
+    import time as _time
 
     code = "import jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        ok = r.returncode == 0 and b"64.0" in r.stdout
-    except subprocess.TimeoutExpired:
-        ok = False
-    if not ok:
-        print(f"bench: device unresponsive after {timeout_s:.0f}s "
-              "(TPU tunnel wedged?)", file=sys.stderr, flush=True)
-        sys.exit(3)
+    import os
+
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "8"))
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0 and b"64.0" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: device unresponsive (probe {i + 1}/{attempts}); "
+              "the tunnel sometimes recovers in minutes — retrying",
+              file=sys.stderr, flush=True)
+        _time.sleep(30)
+    sys.exit(3)
 
 
 def main():
