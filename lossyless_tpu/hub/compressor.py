@@ -127,23 +127,37 @@ class ClipCompressor:
         """Compress an iterable of (x, y) batches into a dataset bitstream.
 
         `batches` yields NHWC float images already preprocessed to 224px
-        normalized (use `preprocess_batch` otherwise). The host rANS for
-        batch i runs while the device computes batch i+1.
+        normalized (use `preprocess_batch` otherwise). Two-deep pipeline:
+        batch i+1 is dispatched to the device before batch i is read back,
+        so device compute, host readback, and host rANS all overlap (a
+        depth-1 pipeline leaves a dispatch bubble — measured ~10% of
+        throughput on the bench hot path).
         """
         start = time.time()
         all_streams: list[bytes] = []
         labels = []
         pool = ThreadPoolExecutor(max_workers=1)
-        pending = None
+        pending = None        # host-coding future for the previous batch
+        inflight = None       # device symbols not yet read back
+
+        def _drain(dev_syms):
+            nonlocal pending
+            symbols = np.asarray(dev_syms)          # blocks on THIS batch
+            if pending is not None:
+                all_streams.extend(pending.result())
+            pending = pool.submit(self.codec.encode_batch, symbols,
+                                  self.indexes)
 
         for item in batches:
             x, y = item if isinstance(item, (tuple, list)) else (item, None)
-            symbols = np.asarray(self._encode_fn(jnp.asarray(x)))  # device
-            if pending is not None:
-                all_streams.extend(pending.result())
-            pending = pool.submit(self.codec.encode_batch, symbols, self.indexes)
+            dev = self._encode_fn(jnp.asarray(x))   # async dispatch
             if label_file is not None and y is not None:
                 labels.append(np.asarray(y).astype(np.uint16))
+            if inflight is not None:
+                _drain(inflight)
+            inflight = dev
+        if inflight is not None:
+            _drain(inflight)
         if pending is not None:
             all_streams.extend(pending.result())
         pool.shutdown()
