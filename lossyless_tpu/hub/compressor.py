@@ -51,9 +51,17 @@ class ClipCompressor:
     """
 
     def __init__(self, eb_params, scaling, biasing, clip_params=None,
-                 dtype=jnp.bfloat16, seed: int = 0):
+                 dtype=jnp.bfloat16, seed: int = 0, mesh=None, model=None):
+        """`mesh`: optional `jax.sharding.Mesh` with a "data" axis — batches
+        are sharded over it so `compress_dataset` scales across chips
+        (dataset-axis scaling, SURVEY.md §5.7); weights are replicated.
+        Streams are identical to the single-chip output for any mesh size.
+        `model`: override the encoder tower (any module mapping normalized
+        224px NHWC images to 512-d embeddings; default CLIP ViT-B/32).
+        """
         self.z_dim = 512
-        self.model = vit_b32(dtype=dtype)
+        self.mesh = mesh
+        self.model = model if model is not None else vit_b32(dtype=dtype)
         if clip_params is None:
             dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
             clip_params = self.model.init(jax.random.key(seed), dummy)["params"]
@@ -73,8 +81,28 @@ class ClipCompressor:
         self.medians_np = np.asarray(eb.medians(eb_np))
         self.indexes = np.arange(self.z_dim, dtype=np.int32)
 
-        self._encode_fn = jax.jit(self._encode_symbols)
-        self._features_fn = jax.jit(self._features)
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self.clip_params = jax.device_put(self.clip_params, repl)
+            self.eb_params = jax.device_put(self.eb_params, repl)
+            self.scaling = jax.device_put(self.scaling, repl)
+            self.biasing = jax.device_put(self.biasing, repl)
+            # shard_map gives the (Pallas) kernels their true per-shard
+            # shapes; each chip encodes its batch shard independently
+            self._encode_fn = jax.jit(shard_map(
+                self._encode_symbols, mesh=mesh, in_specs=P("data"),
+                out_specs=P("data")))
+            self._features_fn = jax.jit(shard_map(
+                self._features, mesh=mesh, in_specs=P("data"),
+                out_specs=P("data")))
+        else:
+            self._data_sharding = None
+            self._encode_fn = jax.jit(self._encode_symbols)
+            self._features_fn = jax.jit(self._features)
 
     # -- device programs ----------------------------------------------------
 
