@@ -6,6 +6,18 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 export JAX_PLATFORMS="${JAX_PLATFORMS_OVERRIDE:-cpu}"
+# drop any TPU-tunnel plugin site from PYTHONPATH for CPU runs: jax's
+# backend discovery initializes every registered plugin, so a wedged tunnel
+# would hang even a pure-CPU smoke test
+if [ "$JAX_PLATFORMS" = "cpu" ] && [ -n "${PYTHONPATH:-}" ]; then
+  PYTHONPATH=$(python - <<'PY'
+import os
+print(os.pathsep.join(p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                      if p and "axon" not in p))
+PY
+)
+  export PYTHONPATH
+fi
 
 OUT=$(mktemp -d)
 for preset in banana_viz_VIC banana_viz_VAE; do
