@@ -329,15 +329,18 @@ def preset(name: str) -> ExperimentConfig:
         return cfg
     if name in ("stl10_balle",):
         # bin/stl10/STL10_balle.sh: Balle-style conv autoencoder + spatial
-        # hyperprior (the classic image-compression config)
+        # hyperprior (the classic image-compression config). z_dim=8192
+        # (the reference's encoder.z_dim=8192): STL10 96px resizes to 128px,
+        # 4 stride-2 convs -> 8x8 positions x 128 channels.
         return ExperimentConfig(
             experiment="stl10_balle",
             data_feat=DataConfig(name="stl10", batch_size=64, n_epochs=20,
                                  kwargs=dict(additional_target="input")),
-            encoder=EncoderConfig(arch="balle", z_dim=128,
+            encoder=EncoderConfig(arch="balle", z_dim=8192,
                                   arch_kwargs=dict(hid_dim=64)),
-            rate=RateConfig(mode="H_spatial", n_channels=64),
+            rate=RateConfig(mode="H_spatial", n_channels=128),
             distortion=DistortionConfig(mode="direct", data_mode="image",
+                                        arch="balle",
                                         arch_kwargs=dict(hid_dim=64)),
             online=OnlineEvalConfig(is_online=True,
                                     arch_kwargs=dict(hid_dim=512)),

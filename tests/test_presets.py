@@ -17,6 +17,30 @@ def test_preset_constructs_and_overrides(name):
     assert "beta_5.0e-01" in cfg2.long_name
 
 
+def test_stl10_balle_preset_builds_and_steps():
+    """Regression: the balle preset's z_dim/n_channels must satisfy the
+    spatial-hyperprior square-latent contract (a TPU smoke run caught a
+    mismatched z_dim=128/n_channels=64 config that only fails at init)."""
+    import dataclasses
+
+    from lossyless_tpu.compressors.compressor import LearnableCompressor
+    from lossyless_tpu.train.state import OptimConfig, TrainState, train_step
+
+    cfg = preset("stl10_balle")
+    cfg.in_shape = (96, 96, 3)
+    cfg.target_shape = 10
+    cfg.aux_shape = (96, 96, 3)
+    ccfg = cfg.compressor_config()
+    model = LearnableCompressor(ccfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    batch = (x, rng.integers(0, 10, 2).astype(np.int32), x)
+    state = TrainState.create(model, batch, jax.random.key(0),
+                              main=OptimConfig(lr=1e-3))
+    state, logs = train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(logs["loss"]))
+
+
 def test_frozen_encoder_gets_zero_updates():
     """stag_step2 parity: the reference's Freezer callback -> frozen paths
     receive zero optimizer updates while everything else trains."""
