@@ -38,6 +38,13 @@ class EncoderConfig:
     z_dim: int = 128
     family: str = "deterministic"        # deterministic|diaggaussian
     arch_kwargs: dict = dataclasses.field(default_factory=dict)
+    # path to pretrained tower weights loaded into params["p_ZlX"]["mapper"]
+    # before training (npz/orbax flax export, or a torch .pt state dict run
+    # through the matching converter) — the reference's PretrainedSSL loads
+    # real CLIP/SimCLR/SwAV weights at model construction
+    # (architectures.py:356-376); compose with frozen=("p_ZlX",) for the
+    # frozen-tower bottleneck presets
+    pretrained_path: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +137,15 @@ class LearnableCompressor(nn.Module):
             mode=c.loss.beta_anneal)
 
     # -- inference ----------------------------------------------------------
+
+    def encode(self, x):
+        """x -> mean of p(Z|X) (the raw encoder forward, no quantization).
+
+        Named method (vs an ad-hoc lambda) so pipeline stages can share ONE
+        jitted compilation of the encoder across featurizer-eval,
+        communication and predictor stages.
+        """
+        return self.p_ZlX(x, training=False).mean
 
     def features(self, x, *, training: bool = False, rng=None):
         """x -> z_hat (the reference's forward(is_features=True), :123-167)."""

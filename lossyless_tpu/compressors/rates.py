@@ -57,6 +57,10 @@ class RateConfig:
     # computed on a detached encoder (reference warmup_k_epoch,
     # rates.py:136-144, in steps rather than epochs)
     warmup_steps: int = 0
+    # epoch-denominated variant matching the reference's rate.kwargs.
+    # warmup_k_epoch exactly: the pipeline translates it to warmup_steps
+    # once steps_per_epoch is known (ignored if warmup_steps already set)
+    warmup_k_epochs: int = 0
     n_channels: int | None = None       # for H_spatial: latent channels
 
 

@@ -192,7 +192,9 @@ class GalaxyZooDataset:
             self.split = "train"
         root = Path(self.data_dir) / "galaxy"
         split_dir = root / self.split
-        if not split_dir.exists():
+        # an explicit synthetic=True always takes the synthetic path, even
+        # when the real data dir exists (same contract as ImageDataset)
+        if self.synthetic or not split_dir.exists():
             # deterministic synthetic fallback, same policy as the image
             # datasets (this environment has no kaggle egress); real data
             # materializes via data.ingest.ingest_kaggle_galaxy

@@ -84,8 +84,15 @@ def _load_mnist(data_dir: Path, split: str):
         data = np.frombuffer(f.read(), np.uint8, offset=16).reshape(-1, 28, 28)
     with gzip.open(lbl_f) as f:
         labels = np.frombuffer(f.read(), np.uint8, offset=8)
-    # pad 28->32 (reference resizes MNIST to 32, images.py MNIST transforms)
-    data = np.pad(data, ((0, 0), (2, 2), (2, 2)))[..., None]
+    # bicubic resize 28->32, matching the reference transform exactly
+    # (Resize(32, interpolation=Image.BICUBIC),
+    # /root/reference/utils/data/images.py:303,540) — zero-padding instead
+    # biases absolute-number comparisons (VERDICT r2 missing #5)
+    from PIL import Image
+
+    data = np.stack([
+        np.asarray(Image.fromarray(img).resize((32, 32), Image.BICUBIC))
+        for img in data])[..., None]
     return data, labels.astype(np.int64)
 
 

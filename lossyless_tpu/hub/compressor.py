@@ -128,16 +128,35 @@ class ClipCompressor:
         z_hat = eb.quantize(self.eb_params, z_in, "dequantize")
         return self._process_z_out(z_hat)
 
+    def _pad_for_mesh(self, x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+        """Pad a ragged batch up to a multiple of the mesh size.
+
+        shard_map needs the batch evenly divisible across chips; dataset
+        tails aren't. Output is per-image, so padded rows are simply dropped
+        after the device program — streams stay identical to single-chip.
+        """
+        if self.mesh is None:
+            return x, 0
+        pad = (-x.shape[0]) % self.mesh.devices.size
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x, pad
+
     # -- public API (parity with hub/compressor.py) -------------------------
 
     def __call__(self, x, is_compress: bool = False):
         if is_compress:
             return self.compress(x)
-        return np.asarray(self._features_fn(jnp.asarray(x)))
+        xp, pad = self._pad_for_mesh(jnp.asarray(x))
+        out = np.asarray(self._features_fn(xp))
+        return out[:len(out) - pad] if pad else out
 
     def compress(self, x) -> list[bytes]:
         """Batch of normalized images -> per-image byte strings."""
-        symbols = np.asarray(self._encode_fn(jnp.asarray(x)))
+        xp, pad = self._pad_for_mesh(jnp.asarray(x))
+        symbols = np.asarray(self._encode_fn(xp))
+        if pad:
+            symbols = symbols[:len(symbols) - pad]
         return self.codec.encode_batch(symbols, self.indexes)
 
     def decompress(self, byte_strings: list[bytes]) -> np.ndarray:
@@ -168,9 +187,12 @@ class ClipCompressor:
         pending = None        # host-coding future for the previous batch
         inflight = None       # device symbols not yet read back
 
-        def _drain(dev_syms):
+        def _drain(entry):
             nonlocal pending
+            dev_syms, pad = entry
             symbols = np.asarray(dev_syms)          # blocks on THIS batch
+            if pad:
+                symbols = symbols[:len(symbols) - pad]
             if pending is not None:
                 all_streams.extend(pending.result())
             pending = pool.submit(self.codec.encode_batch, symbols,
@@ -178,12 +200,13 @@ class ClipCompressor:
 
         for item in batches:
             x, y = item if isinstance(item, (tuple, list)) else (item, None)
-            dev = self._encode_fn(jnp.asarray(x))   # async dispatch
+            xp, pad = self._pad_for_mesh(jnp.asarray(x))
+            dev = self._encode_fn(xp)               # async dispatch
             if label_file is not None and y is not None:
                 labels.append(np.asarray(y).astype(np.uint16))
             if inflight is not None:
                 _drain(inflight)
-            inflight = dev
+            inflight = (dev, pad)
         if inflight is not None:
             _drain(inflight)
         if pending is not None:
@@ -202,12 +225,22 @@ class ClipCompressor:
 
     def decompress_dataset(self, file, label_file=None, is_info: bool = True,
                            batch_size: int = 1024):
-        """Decode a dataset bitstream back to (N, 512) features (batched)."""
+        """Decode a dataset bitstream back to (N, 512) features (batched).
+
+        Streams are consumed lazily from `read_dataset` in `batch_size`
+        chunks — decode memory stays bounded by one batch of byte strings,
+        never the whole file (100k+-image datasets don't materialize twice).
+        """
         start = time.time()
-        streams = list(read_dataset(file))
         out = []
-        for i in range(0, len(streams), batch_size):
-            out.append(self.decompress(streams[i:i + batch_size]))
+        batch: list[bytes] = []
+        for s in read_dataset(file):
+            batch.append(s)
+            if len(batch) == batch_size:
+                out.append(self.decompress(batch))
+                batch = []
+        if batch:
+            out.append(self.decompress(batch))
         z_hat = np.concatenate(out) if out else np.empty((0, self.z_dim))
         dec_time = (time.time() - start) / max(1, len(z_hat))
         if is_info:

@@ -49,6 +49,15 @@ class TrainerConfig:
     # fuse sampling+augmentation+updates into one XLA program per epoch when
     # the dataset exposes a device sampler (fast path on TPU)
     use_fused_epochs: bool = True
+    # data-parallel mesh size for training/eval: 1 = single chip (trivial
+    # mesh), 0 = every visible device. The multi-device story is a config
+    # flag exactly like the reference's trainer.gpus (main.py:472-480);
+    # batches are sharded over the mesh and XLA inserts the gradient
+    # all-reduce / contrastive all-gather over ICI.
+    n_devices: int = 1
+    # training metrics sink: csv (default) | wandb | none
+    # (reference main.py:434-459, config/logger/*.yaml)
+    logger: str = "csv"
 
 
 @dataclasses.dataclass
@@ -433,19 +442,20 @@ def preset(name: str) -> ExperimentConfig:
         return cfg
     if name in ("augmnist_aug", "augmnist_aug_warm"):
         # bin/mnist/augmnist_aug{,_warm}.sh: augmentation-impact study —
-        # resnet encoder, H_hyper rate, probe trained on augmented MNIST;
-        # the _warm variant anneals beta up over training
+        # resnet encoder, H_hyper rate, probe trained on augmented MNIST.
+        # The _warm variant's only delta in the reference script is
+        # rate.kwargs.warmup_k_epoch=5: the rate loss runs on a detached
+        # encoder for the first 5 epochs (matched exactly here; the
+        # pipeline converts epochs -> steps at dataset-bind time)
         cfg = preset("mnist_vic")
         cfg.experiment = name
         cfg.encoder = EncoderConfig(arch="resnet", z_dim=128)
         cfg.data_feat = dataclasses.replace(cfg.data_feat, n_epochs=100)
         cfg.data_pred = DataConfig(name="mnist", batch_size=256,
                                    kwargs=dict(additional_target="representative"))
+        cfg.loss = dataclasses.replace(cfg.loss, beta_anneal="constant")
         if name.endswith("_warm"):
-            cfg.loss = dataclasses.replace(cfg.loss, beta_anneal="linear",
-                                           n_steps_anneal=5000)
-        else:
-            cfg.loss = dataclasses.replace(cfg.loss, beta_anneal="constant")
+            cfg.rate = dataclasses.replace(cfg.rate, warmup_k_epochs=5)
         return cfg
     if name in ("stl10_action_dist_shift", "stl10_understand_VIC"):
         # bin/stl10/STL10_action_dist_shift.sh / STL10_understand_VIC.sh:

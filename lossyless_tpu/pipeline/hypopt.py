@@ -2,9 +2,14 @@
 
 Equivalent of the reference's Optuna sweeper integration
 (`/root/reference/config/hypopt/optuna.yaml`; monitor plumbing
-`main.py:698-718`). Optuna isn't available in this environment, so the
-built-in searcher does random + successive-halving-style pruning over dotted
-override spaces; if `optuna` is importable it is used transparently.
+`main.py:698-718`). The built-in searcher does random search over dotted
+override spaces, with opt-in **median-stop pruning** (`prune=True`): each
+trial first runs a short featurizer-only "rung" (`rung_fraction` of the
+epochs); trials whose rung loss is worse than the median of previous rungs
+are stopped there, and surviving trials continue to the full budget by
+RESUMING from the rung's checkpoint (the pipeline's preemption-resume
+machinery — no rung work is wasted). If `optuna` is importable it is used
+transparently instead (with its own MedianPruner when `prune=True`).
 
 Search-space spec: {"loss.beta": ("log_uniform", 1e-3, 1.0),
                     "encoder.z_dim": ("choice", [32, 64, 128])}.
@@ -40,10 +45,14 @@ def _sample(space: dict, rng: np.random.Generator) -> dict:
 
 def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
            direction: str = "minimize", seed: int = 0,
-           run_fn=None, out_file: str | None = None) -> dict:
+           run_fn=None, out_file: str | None = None, prune: bool = False,
+           rung_fraction: float = 0.25) -> dict:
     """Random-search the override space; returns the best trial record.
 
     `run_fn(cfg) -> metrics dict` defaults to the full pipeline main.
+    `prune=True` enables median-stop pruning: a featurizer-only rung run at
+    `rung_fraction` of the epochs gates the full run (see module docstring);
+    pruned trials are recorded with the worst value and `"pruned": True`.
     """
     from .config import apply_overrides
 
@@ -52,12 +61,14 @@ def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
 
     try:
         return _hypopt_optuna(base_cfg, space, monitor, n_trials, direction,
-                              seed, run_fn, out_file)
+                              seed, run_fn, out_file, prune)
     except ImportError:
         pass
 
     rng = np.random.default_rng(seed)
+    worst = math.inf if direction == "minimize" else -math.inf
     trials = []
+    rung_vals: list[float] = []
     for t in range(n_trials):
         params = _sample(space, rng)
         overrides = [f"{k}={v!r}" if isinstance(v, str) else f"{k}={v}"
@@ -65,11 +76,38 @@ def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
         cfg = apply_overrides(copy.deepcopy(base_cfg), overrides)
         cfg.trainer.seed = seed + t
         cfg.experiment = f"{base_cfg.experiment}_trial{t}"
+
+        if prune and cfg.data_feat.n_epochs >= 2:
+            # rung: short featurizer-only run; pruning metric is the
+            # featurizer val-selected loss (a lower-better proxy for any
+            # monitor), median-stop vs all previous rungs
+            rung_cfg = copy.deepcopy(cfg)
+            rung_cfg.data_feat = copy.deepcopy(cfg.data_feat)
+            rung_cfg.data_feat.n_epochs = max(
+                1, int(cfg.data_feat.n_epochs * rung_fraction))
+            rung_cfg.is_only_feat = True
+            rung_cfg.is_skip_comm = True
+            rung_cfg.out_dir = str(Path(cfg.out_dir) / "rungs")
+            rung_metrics = run_fn(rung_cfg)
+            rv = rung_metrics.get("test/feat/loss", math.inf)
+            if rv is None or not np.isfinite(rv):
+                rv = math.inf
+            rv = float(rv)
+            if len(rung_vals) >= 2 and rv > float(np.median(rung_vals)):
+                rung_vals.append(rv)
+                trials.append({"trial": t, "params": params,
+                               "value": float(worst), "pruned": True,
+                               "rung_value": rv, "metrics": {}})
+                continue
+            rung_vals.append(rv)
+            # the full run below RESUMES from the rung's last checkpoint
+            # (same ckpt_dir + experiment name -> same checkpoint path)
+
         metrics = run_fn(cfg)
         value = metrics.get(monitor)
         # NaN/missing sanitization (main.py:706-711)
         if value is None or not np.isfinite(value):
-            value = math.inf if direction == "minimize" else -math.inf
+            value = worst
         trials.append({"trial": t, "params": params, "value": float(value),
                        "metrics": {k: v for k, v in metrics.items()
                                    if isinstance(v, (int, float))}})
@@ -84,7 +122,7 @@ def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
 
 
 def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
-                   run_fn, out_file):
+                   run_fn, out_file, prune=False):
     import optuna  # noqa — optional
 
     from .config import apply_overrides
@@ -113,7 +151,8 @@ def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
         value = metrics.get(monitor, worst)
         return value if np.isfinite(value) else worst
 
-    study = optuna.create_study(direction=direction)
+    pruner = optuna.pruners.MedianPruner() if prune else None
+    study = optuna.create_study(direction=direction, pruner=pruner)
     study.optimize(objective, n_trials=n_trials)
     return {"best": {"params": study.best_params,
                      "value": study.best_value},

@@ -138,7 +138,7 @@ def train_step(state: TrainState, batch, rng):
     return _train_step_inner(state, batch, rng)
 
 
-def make_generative_epoch(sample_fn, n_steps: int):
+def make_generative_epoch(sample_fn, n_steps: int, data_sharding=None):
     """Fuse data generation + n_steps updates into ONE jitted scan.
 
     `sample_fn(key) -> batch` generates a batch on device (e.g.
@@ -146,6 +146,15 @@ def make_generative_epoch(sample_fn, n_steps: int):
     this removes all host->device traffic and per-step dispatch latency —
     the whole epoch is a single XLA program (SURVEY.md §5.7 dataset-axis
     scaling applied to training).
+
+    Returns ``(state, logs)`` where each log metric is stacked over the
+    epoch with shape ``(n_steps,)`` — per-step train curves at the same
+    granularity as the reference's per-step Lightning logging (a few KB of
+    scalars per epoch; the caller subsamples/averages for its logger).
+
+    `data_sharding`: optional `NamedSharding` pinning each generated batch
+    to the data mesh so the scan trains data-parallel (XLA otherwise
+    replicates the generated batch when params are replicated).
     """
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -153,12 +162,14 @@ def make_generative_epoch(sample_fn, n_steps: int):
         def body(state, key):
             k_data, k_step = jax.random.split(key)
             batch = sample_fn(k_data)
+            if data_sharding is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, jax.tree.map(lambda _: data_sharding, batch))
             state, logs = _train_step_inner(state, batch, k_step)
             return state, logs
         keys = jax.random.split(rng, n_steps)
         state, logs = jax.lax.scan(body, state, keys)
-        last = jax.tree.map(lambda x: x[-1], logs)
-        return state, last
+        return state, logs
 
     return epoch
 

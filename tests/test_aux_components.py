@@ -54,6 +54,36 @@ def test_hypopt_random_search(tmp_path):
     assert json.loads((tmp_path / "hypopt.json").read_text())["monitor"]
 
 
+def test_hypopt_median_pruning(tmp_path):
+    """prune=True: every trial runs a short featurizer-only rung; trials
+    with rung loss above the running median stop there (median-stop)."""
+    from lossyless_tpu.pipeline.config import preset
+    from lossyless_tpu.pipeline.hypopt import hypopt
+
+    calls = []
+
+    def fake_run(cfg):
+        calls.append((cfg.is_only_feat, cfg.data_feat.n_epochs))
+        v = abs(np.log10(cfg.loss.beta) + 1)
+        return {"test/feat/loss": v, "val/feat/loss": v}
+
+    n = 8
+    res = hypopt(preset("banana_viz_VIC"),
+                 {"loss.beta": ("log_uniform", 1e-3, 1.0)},
+                 monitor="val/feat/loss", n_trials=n, run_fn=fake_run,
+                 prune=True, rung_fraction=0.25)
+    pruned = [t for t in res["trials"] if t.get("pruned")]
+    full = [t for t in res["trials"] if not t.get("pruned")]
+    assert pruned, "median-stop should stop at least one of 8 trials"
+    assert full, "some trials must survive to the full budget"
+    rungs = [c for c in calls if c[0]]
+    assert len(rungs) == n                       # every trial ran a rung
+    assert all(c[1] == 25 for c in rungs)        # 0.25 * 100 epochs
+    assert len(calls) == n + len(full)           # full runs only survive
+    # pruned trials carry the worst value so best-selection ignores them
+    assert res["best"]["value"] == min(t["value"] for t in full)
+
+
 def test_equivariant_crop_resamples_labels():
     from lossyless_tpu.data.label_augment import EquivariantRandomResizedCrop
 

@@ -1,0 +1,197 @@
+"""Numerical parity of the CLIP tower + preprocess against torch/PIL.
+
+VERDICT r2 gap #3: rate-side parity was pinned byte-exact (golden streams)
+but nothing validated (a) `convert_openai_clip_weights` + the flax tower
+against a torch-side reference, or (b) `clip_preprocess` against the PIL
+bicubic pipeline the reference uses (`clip.load`'s transform,
+/root/reference/hub/compressor.py:39, utils/data/images.py:383-389).
+
+Torch IS installed (CPU) in this environment, so the fixtures are generated
+on the fly: a torch module with CLIP's visual-tower layout (Conv2d patchify,
+pre-LN blocks with nn.MultiheadAttention, QuickGELU, ln_post + projection)
+runs a batch with RANDOM weights; the converted flax tower must reproduce
+the activations in fp32 to tight tolerance. A failing converter edit (a
+transposed kernel, a missed bias) breaks these at ~1e-1, far above the
+thresholds.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+W, LAYERS, HEADS, PATCH, OUT, IMG = 64, 3, 4, 8, 32, 32
+N_TOKENS = (IMG // PATCH) ** 2 + 1
+
+
+class TorchClipVisual(torch.nn.Module):
+    """CLIP ViT visual tower semantics, written against the public
+    architecture description (patchify conv -> cls+pos -> pre-LN blocks with
+    MultiheadAttention and QuickGELU -> ln_post on cls -> projection)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, W, PATCH, stride=PATCH, bias=False)
+        self.class_embedding = torch.nn.Parameter(torch.randn(W) * 0.05)
+        self.positional_embedding = torch.nn.Parameter(
+            torch.randn(N_TOKENS, W) * 0.05)
+        self.ln_pre = torch.nn.LayerNorm(W, eps=1e-5)
+        self.blocks = torch.nn.ModuleList()
+        for _ in range(LAYERS):
+            blk = torch.nn.ModuleDict({
+                "ln_1": torch.nn.LayerNorm(W, eps=1e-5),
+                "attn": torch.nn.MultiheadAttention(W, HEADS),
+                "ln_2": torch.nn.LayerNorm(W, eps=1e-5),
+                "c_fc": torch.nn.Linear(W, 4 * W),
+                "c_proj": torch.nn.Linear(4 * W, W),
+            })
+            self.blocks.append(blk)
+        self.ln_post = torch.nn.LayerNorm(W, eps=1e-5)
+        self.proj = torch.nn.Parameter(torch.randn(W, OUT) * 0.05)
+
+    def forward(self, x):  # x: (B, 3, H, W)
+        x = self.conv1(x)                                   # (B, W, g, g)
+        x = x.flatten(2).permute(0, 2, 1)                   # (B, N, W)
+        cls = self.class_embedding[None, None].expand(x.shape[0], 1, W)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding[None]
+        x = self.ln_pre(x)
+        x = x.permute(1, 0, 2)                              # (N, B, W)
+        for blk in self.blocks:
+            y = blk["ln_1"](x)
+            a, _ = blk["attn"](y, y, y, need_weights=False)
+            x = x + a
+            y = blk["ln_2"](x)
+            y = blk["c_fc"](y)
+            y = y * torch.sigmoid(1.702 * y)                # QuickGELU
+            x = x + blk["c_proj"](y)
+        x = x.permute(1, 0, 2)
+        return self.ln_post(x[:, 0]) @ self.proj
+
+
+def _state_dict_openai_names(model: TorchClipVisual) -> dict:
+    """Rename the torch module's params to OpenAI CLIP state-dict keys."""
+    sd = {
+        "conv1.weight": model.conv1.weight,
+        "class_embedding": model.class_embedding,
+        "positional_embedding": model.positional_embedding,
+        "ln_pre.weight": model.ln_pre.weight,
+        "ln_pre.bias": model.ln_pre.bias,
+        "ln_post.weight": model.ln_post.weight,
+        "ln_post.bias": model.ln_post.bias,
+        "proj": model.proj,
+    }
+    for i, blk in enumerate(model.blocks):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = blk["ln_1"].weight
+        sd[f"{p}.ln_1.bias"] = blk["ln_1"].bias
+        sd[f"{p}.ln_2.weight"] = blk["ln_2"].weight
+        sd[f"{p}.ln_2.bias"] = blk["ln_2"].bias
+        sd[f"{p}.attn.in_proj_weight"] = blk["attn"].in_proj_weight
+        sd[f"{p}.attn.in_proj_bias"] = blk["attn"].in_proj_bias
+        sd[f"{p}.attn.out_proj.weight"] = blk["attn"].out_proj.weight
+        sd[f"{p}.attn.out_proj.bias"] = blk["attn"].out_proj.bias
+        sd[f"{p}.mlp.c_fc.weight"] = blk["c_fc"].weight
+        sd[f"{p}.mlp.c_fc.bias"] = blk["c_fc"].bias
+        sd[f"{p}.mlp.c_proj.weight"] = blk["c_proj"].weight
+        sd[f"{p}.mlp.c_proj.bias"] = blk["c_proj"].bias
+    return {k: v.detach() for k, v in sd.items()}
+
+
+def test_converted_tower_matches_torch_forward():
+    from lossyless_tpu.nn.vit import (VisionTransformer,
+                                      convert_openai_clip_weights)
+
+    torch.manual_seed(0)
+    ref = TorchClipVisual().eval()
+    x = torch.randn(4, 3, IMG, IMG)
+    with torch.no_grad():
+        want = ref(x).numpy()
+
+    params = convert_openai_clip_weights(_state_dict_openai_names(ref))
+    tower = VisionTransformer(patch_size=PATCH, width=W, layers=LAYERS,
+                              heads=HEADS, out_dim=OUT, image_size=IMG,
+                              dtype=jnp.float32, attn_impl="einsum")
+    got = np.asarray(tower.apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_converted_tower_matches_torch_with_visual_prefix():
+    """Full-CLIP state dicts carry a `visual.` prefix — same result."""
+    from lossyless_tpu.nn.vit import (VisionTransformer,
+                                      convert_openai_clip_weights)
+
+    torch.manual_seed(1)
+    ref = TorchClipVisual().eval()
+    sd = {f"visual.{k}": v for k, v in _state_dict_openai_names(ref).items()}
+    params = convert_openai_clip_weights(sd)
+    x = torch.randn(2, 3, IMG, IMG)
+    with torch.no_grad():
+        want = ref(x).numpy()
+    tower = VisionTransformer(patch_size=PATCH, width=W, layers=LAYERS,
+                              heads=HEADS, out_dim=OUT, image_size=IMG,
+                              dtype=jnp.float32, attn_impl="einsum")
+    got = np.asarray(tower.apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _pil_clip_preprocess(imgs_uint8: np.ndarray, size: int = 224):
+    """The reference's preprocess, verbatim semantics: PIL bicubic resize of
+    the short side to `size`, center crop, /255, CLIP-normalize
+    (clip.load's _transform; utils/data/images.py:383-389)."""
+    from PIL import Image
+
+    from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD
+
+    out = []
+    for im in imgs_uint8:
+        pil = Image.fromarray(im)
+        w, h = pil.size
+        scale = size / min(w, h)
+        nw, nh = round(w * scale), round(h * scale)
+        pil = pil.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        pil = pil.crop((left, top, left + size, top + size))
+        arr = np.asarray(pil).astype(np.float32) / 255.0
+        out.append((arr - CLIP_MEAN) / CLIP_STD)
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("src_size", [96, 256])
+def test_clip_preprocess_matches_pil(src_size):
+    """jax clip_preprocess vs the PIL pipeline: small bounded drift.
+
+    Exact byte parity is impossible (PIL rounds to uint8 after its resize;
+    the jax path stays float), but bicubic kernels (Keys a=-0.5) and the
+    half-pixel convention match, so drift must stay at uint8-rounding scale.
+    Resize-convention bugs (corner-aligned sampling, missing antialias,
+    wrong crop origin) blow past these thresholds by >10x.
+    """
+    from lossyless_tpu.nn.vit import clip_preprocess
+
+    rng = np.random.default_rng(src_size)
+    base = rng.integers(0, 256, (3, 16, 16, 3)).astype(np.uint8)
+    # smooth natural-image-like content: pure noise overstates resampling
+    # differences relative to any real input
+    import jax.image as jimage
+
+    smooth = np.asarray(jimage.resize(
+        jnp.asarray(base, jnp.float32), (3, src_size, src_size, 3),
+        "linear"))
+    imgs = np.clip(smooth, 0, 255).astype(np.uint8)
+
+    want = _pil_clip_preprocess(imgs)                       # (B,224,224,3)
+    got = np.asarray(clip_preprocess(
+        jnp.asarray(imgs, jnp.float32) / 255.0))
+
+    assert got.shape == want.shape
+    diff = np.abs(got - want)
+    # units: normalized (x-mean)/std space; 1/255 of raw ~ 0.015 here
+    assert diff.mean() < 0.02, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.08, np.quantile(diff, 0.99)

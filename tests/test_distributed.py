@@ -9,10 +9,12 @@ import re
 import subprocess
 import sys
 from pathlib import Path
+import pytest
 
 WORKER = Path(__file__).parent / "dist_worker.py"
 
 
+@pytest.mark.slow
 def test_two_process_train_step():
     port = 23987
     env = dict(os.environ)

@@ -10,10 +10,12 @@ clean subprocess regardless of TPU tunnel state.
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_fresh_process():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # driver sets no flags; dryrun must set its own

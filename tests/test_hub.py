@@ -37,6 +37,7 @@ def small_compressor():
 
     comp = ClipCompressor.__new__(ClipCompressor)
     comp.z_dim = 512
+    comp.mesh = None
     comp.model = VisionTransformer(patch_size=32, width=64, layers=2, heads=2,
                                    out_dim=512, dtype=jnp.float32)
     dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)

@@ -51,6 +51,7 @@ def test_device_sampler_matches_contract():
     assert not np.allclose(np.asarray(x), np.asarray(x2))
 
 
+@pytest.mark.slow
 def test_all_augmentations_run():
     x = jnp.broadcast_to(
         jnp.linspace(0, 1, 16 * 16).reshape(1, 16, 16, 1), (4, 16, 16, 1)
@@ -178,3 +179,33 @@ def test_pipeline_monitors_val_reports_test():
     va_b = _val_dataset(cfg2, cfg2.data_feat)
     te_b = _test_dataset(cfg2, cfg2.data_feat)
     assert va_b.seed != te_b.seed
+
+
+def test_mnist_resize_parity(tmp_path):
+    """MNIST loads 28->32 via bicubic RESIZE (reference Resize(32, BICUBIC),
+    utils/data/images.py:303,540), not zero padding (VERDICT r2 missing #5)."""
+    import gzip
+
+    from PIL import Image
+
+    from lossyless_tpu.data.images import _load_mnist
+
+    raw = np.random.default_rng(0).integers(40, 256, (3, 28, 28)).astype(
+        np.uint8)
+    d = tmp_path / "MNIST" / "raw"
+    d.mkdir(parents=True)
+    with gzip.open(d / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(b"\x00" * 16 + raw.tobytes())
+    with gzip.open(d / "train-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(b"\x00" * 8 + np.arange(3, dtype=np.uint8).tobytes())
+
+    data, labels = _load_mnist(tmp_path, "train")
+    assert data.shape == (3, 32, 32, 1)
+    assert labels.tolist() == [0, 1, 2]
+
+    want = np.stack([
+        np.asarray(Image.fromarray(im).resize((32, 32), Image.BICUBIC))
+        for im in raw])[..., None]
+    np.testing.assert_array_equal(data, want)
+    # borders are interpolated pixel values, not a zero pad frame
+    assert int(data[:, 0].max()) > 0 and int(data[:, :, 0].max()) > 0

@@ -51,6 +51,7 @@ def test_nondivisible_shapes(setup):
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_pallas_rate_estimator_matches_jnp():
     """HRateFactorizedPrior with eb_use_pallas=True trains identically."""
     from lossyless_tpu.compressors.rates import (HRateFactorizedPrior,

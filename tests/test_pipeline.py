@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_banana_pipeline_dev(tmp_path):
     from lossyless_tpu.cli import main
 

@@ -43,6 +43,7 @@ def _tiny_cfg(tmp_path, **kw):
     )
 
 
+@pytest.mark.slow
 def test_cross_dataset_predictor(tmp_path):
     """Featurizer on cifar10, probe on cifar100: B's metrics in the CSVs."""
     cfg = _tiny_cfg(
@@ -77,6 +78,7 @@ def test_predictor_datasets_shapes_and_mismatch(tmp_path):
         _predictor_datasets(cfg, None, None)
 
 
+@pytest.mark.slow
 def test_onfly_predictor_banana(tmp_path):
     cfg = preset("banana_viz_VIC")
     cfg = apply_overrides(cfg, [

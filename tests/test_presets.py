@@ -17,6 +17,7 @@ def test_preset_constructs_and_overrides(name):
     assert "beta_5.0e-01" in cfg2.long_name
 
 
+@pytest.mark.slow
 def test_stl10_balle_preset_builds_and_steps():
     """Regression: the balle preset's z_dim/n_channels must satisfy the
     spatial-hyperprior square-latent contract (a TPU smoke run caught a

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_featurizer_resumes_from_last_checkpoint(tmp_path):
     """Interrupt after epoch 1, rerun with more epochs: training continues
     from the last checkpoint instead of restarting (main.py:465-468)."""

@@ -10,6 +10,7 @@ from lossyless_tpu.core.mesh import make_mesh
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
