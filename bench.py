@@ -6,11 +6,20 @@ entropy-bottleneck symbols, all as ONE device program scanning over
 HBM-resident batches (dataset-axis scaling, SURVEY.md §5.7); host-side rANS
 entropy coding runs on a thread pool overlapped with device compute.
 
-The image data is generated on-device: the benchmark environment reaches the
-TPU through a low-bandwidth tunnel, so staging host data would measure the
-tunnel, not the chip. Throughput is weight- and data-independent.
+Two modes, reported honestly:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* default (the driver's number): image data is DEVICE-RESIDENT (generated
+  in HBM). This measures chip + host-rANS throughput and EXCLUDES
+  host->device image transfer — the benchmark environment reaches the TPU
+  through a low-bandwidth tunnel, so staging host data would measure the
+  tunnel, not the chip. The JSON line carries "input": "device_resident".
+* `--host-fed`: the REAL deployment path via
+  `hub.ClipCompressor.compress_dataset` fed from host-resident raw uint8
+  96px (STL10-native) batches — host->device transfer + on-device fused
+  resize/normalize + ViT + symbols readback + threaded rANS + file framing.
+  On tunneled environments this number is transfer-bound and labeled so.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -28,8 +37,10 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC = 347.82  # reference STL10 encode (README.md:53)
 
-BATCH = 512     # larger per-step batch: fuller MXU occupancy per layer
-N_BATCHES = 16  # 8192 images per dispatch (STL10 test-set scale)
+import os as _os
+
+BATCH = int(_os.environ.get("BENCH_BATCH", 512))        # fuller MXU occupancy
+N_BATCHES = int(_os.environ.get("BENCH_N_BATCHES", 16))  # 8192/dispatch
 
 
 def _probe_device(timeout_s: float = 180.0) -> None:
@@ -181,8 +192,61 @@ def main():
         "value": round(img_per_sec, 2),
         "unit": "img/sec/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "input": "device_resident",
+    }))
+
+
+def main_host_fed():
+    """Deployment path fed from HOST memory (see module docstring).
+
+    Drives the actual public API — `ClipCompressor.compress_dataset` with
+    `raw_input_hw=(96, 96)` so raw STL10-native uint8 crosses the boundary
+    (27 KB/img) and resize/normalize fuse into the device encode program.
+    """
+    _probe_device()
+
+    import tempfile
+    from pathlib import Path
+
+    from lossyless_tpu.hub.compressor import ClipCompressor
+    from lossyless_tpu.hub.load_reference import load_factorized_rate
+
+    eb_params, scaling, biasing = load_factorized_rate("b005")
+    comp = ClipCompressor(eb_params, scaling, biasing,
+                          raw_input_hw=(96, 96))
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, (N_BATCHES, BATCH, 96, 96, 3),
+                        dtype=np.uint8)           # ~680 MB host-resident
+
+    with tempfile.TemporaryDirectory() as td:
+        # warm: compiles the fused preprocess+encode program untimed
+        comp.compress_dataset(iter([(data[0], None)]), Path(td) / "warm.bin",
+                              is_info=False)
+        t0 = time.time()
+        rate, img_per_sec = comp.compress_dataset(
+            ((xb, None) for xb in data), Path(td) / "bench.bin",
+            is_info=False)
+        wall = time.time() - t0
+
+    n_imgs = BATCH * N_BATCHES
+    backend = jax.devices()[0].platform
+    print(json.dumps({
+        "metric": "stl10_encode_throughput_host_fed",
+        "value": round(n_imgs / wall, 2),
+        "unit": "img/sec/chip",
+        "vs_baseline": round((n_imgs / wall) / BASELINE_IMG_PER_SEC, 3),
+        "input": "host_resident_uint8_96px",
+        "bits_per_img": round(rate, 2),
+        "backend": backend,
+        "transfer_bound_tunnel": backend == "tpu",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--host-fed" in sys.argv:
+        main_host_fed()
+    else:
+        main()

@@ -51,16 +51,24 @@ class ClipCompressor:
     """
 
     def __init__(self, eb_params, scaling, biasing, clip_params=None,
-                 dtype=jnp.bfloat16, seed: int = 0, mesh=None, model=None):
+                 dtype=jnp.bfloat16, seed: int = 0, mesh=None, model=None,
+                 raw_input_hw: tuple | None = None):
         """`mesh`: optional `jax.sharding.Mesh` with a "data" axis — batches
         are sharded over it so `compress_dataset` scales across chips
         (dataset-axis scaling, SURVEY.md §5.7); weights are replicated.
         Streams are identical to the single-chip output for any mesh size.
         `model`: override the encoder tower (any module mapping normalized
         224px NHWC images to 512-d embeddings; default CLIP ViT-B/32).
+        `raw_input_hw`: when set to the source (H, W), `compress`/
+        `compress_dataset`/`__call__` accept RAW uint8 NHWC batches at that
+        resolution; bicubic resize to 224 + CLIP normalization run ON DEVICE,
+        fused into the encode program — one dispatch per batch, and only
+        H*W*3 uint8 bytes/img cross the host->device boundary (the reference
+        preprocesses on CPU dataloader workers via PIL, hub/compressor.py:39).
         """
         self.z_dim = 512
         self.mesh = mesh
+        self.raw_input_hw = tuple(raw_input_hw) if raw_input_hw else None
         self.model = model if model is not None else vit_b32(dtype=dtype)
         if clip_params is None:
             dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -106,6 +114,13 @@ class ClipCompressor:
 
     # -- device programs ----------------------------------------------------
 
+    def _maybe_preprocess(self, x):
+        """Fused device preprocess for raw uint8 inputs (raw_input_hw)."""
+        if self.raw_input_hw is None:
+            return x
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return clip_preprocess(x)
+
     def _embed(self, x):
         """Normalized [0,1] NHWC 224px images -> 512-d CLIP embedding."""
         return self.model.apply({"params": self.clip_params}, x)
@@ -117,13 +132,13 @@ class ClipCompressor:
         return z_hat / jnp.exp(self.scaling) - self.biasing
 
     def _encode_symbols(self, x):
-        z = self._embed(x)
+        z = self._embed(self._maybe_preprocess(x))
         z_in = self._process_z_in(z)
         med = eb.medians(self.eb_params)[None, :]
         return jnp.round(z_in - med).astype(jnp.int32)
 
     def _features(self, x):
-        z = self._embed(x)
+        z = self._embed(self._maybe_preprocess(x))
         z_in = self._process_z_in(z)
         z_hat = eb.quantize(self.eb_params, z_in, "dequantize")
         return self._process_z_out(z_hat)

@@ -38,6 +38,7 @@ def small_compressor():
     comp = ClipCompressor.__new__(ClipCompressor)
     comp.z_dim = 512
     comp.mesh = None
+    comp.raw_input_hw = None
     comp.model = VisionTransformer(patch_size=32, width=64, layers=2, heads=2,
                                    out_dim=512, dtype=jnp.float32)
     dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -86,3 +87,33 @@ def test_compress_dataset_roundtrip(tmp_path, small_compressor):
         small_compressor.compress(batches[0][0]))
     np.testing.assert_allclose(z_hat[:4], direct, atol=1e-6)
     assert rate > 100  # plausible bits/img
+
+
+def test_raw_input_device_preprocess(small_compressor):
+    """raw_input_hw: raw uint8 96px batches produce the same streams as
+    host-side preprocess + the normalized-input path (the fused device
+    resize/normalize is the same clip_preprocess computation)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lossyless_tpu.nn.vit import clip_preprocess
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, (4, 96, 96, 3)).astype(np.uint8)
+
+    # reference path: preprocess on host-side jnp, then normalized compress
+    pre = np.asarray(clip_preprocess(jnp.asarray(raw, jnp.float32) / 255.0))
+    want = small_compressor.compress(pre)
+
+    # raw path: a copy of the compressor with fused device preprocess
+    import copy
+
+    comp = copy.copy(small_compressor)
+    comp.raw_input_hw = (96, 96)
+    import jax
+
+    comp._encode_fn = jax.jit(comp._encode_symbols)
+    comp._features_fn = jax.jit(comp._features)
+    got = comp.compress(raw)
+    assert [g for g in got] == [w for w in want]
