@@ -28,7 +28,7 @@ import gzip
 import pickle
 import tarfile
 from pathlib import Path
-from typing import Sequence
+from typing import ClassVar, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -260,18 +260,35 @@ class ImageDataset:
             self.synthetic = True
             return _synthetic(self.spec, split, self.synthetic_n, self.seed)
 
+    # dataset-name -> val_fraction used by the first carve in this process;
+    # a later instance carving the SAME dataset with a DIFFERENT fraction
+    # would silently overlap its train split with the other's validation
+    # split, so it is an error (split contract, utils/data/base.py:133-316)
+    _carve_fractions: ClassVar[dict] = {}
+
     def _carve(self, which: str):
         """Deterministically split train into train/validation parts.
 
         The permutation seed depends only on the dataset name, so a train
         instance and a validation instance built anywhere always partition
-        the same way (disjoint, exhaustive).
+        the same way (disjoint, exhaustive) — PROVIDED they agree on
+        val_fraction, which is enforced process-wide.
         """
         import zlib
 
+        frac = self.val_fraction or 0.1
+        seen = ImageDataset._carve_fractions.setdefault(self.name, frac)
+        if seen != frac:
+            raise ValueError(
+                f"{self.name}: val_fraction={frac} conflicts with "
+                f"val_fraction={seen} used by an earlier instance — train/"
+                f"validation splits would overlap. Use one fraction per "
+                f"dataset (or reset ImageDataset._carve_fractions in "
+                f"tests).")
+
         data, targets = self._load_any("train")
         n = len(data)
-        n_val = max(1, int(round(n * (self.val_fraction or 0.1))))
+        n_val = max(1, int(round(n * frac)))
         perm = np.random.default_rng(
             zlib.crc32(self.name.encode())).permutation(n)
         idx = perm[:n_val] if which == "validation" else perm[n_val:]

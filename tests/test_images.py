@@ -209,3 +209,19 @@ def test_mnist_resize_parity(tmp_path):
     np.testing.assert_array_equal(data, want)
     # borders are interpolated pixel values, not a zero pad frame
     assert int(data[:, 0].max()) > 0 and int(data[:, :, 0].max()) > 0
+
+
+def test_carve_fraction_conflict_raises():
+    """Two instances carving the same dataset with different val_fraction
+    would silently overlap train/val; it is an error (VERDICT r2 weak #7)."""
+    import pytest
+
+    from lossyless_tpu.data.images import ImageDataset
+
+    ImageDataset._carve_fractions.pop("cifar100", None)
+    kw = dict(synthetic=True, synthetic_n=64)
+    ImageDataset(name="cifar100", split="train", val_fraction=0.1, **kw)
+    ImageDataset(name="cifar100", split="validation", val_fraction=0.1, **kw)
+    with pytest.raises(ValueError, match="val_fraction"):
+        ImageDataset(name="cifar100", split="train", val_fraction=0.25, **kw)
+    ImageDataset._carve_fractions.pop("cifar100", None)
