@@ -228,6 +228,11 @@ def main_host_fed():
             ((xb, None) for xb in data), Path(td) / "bench.bin",
             is_info=False)
         wall = time.time() - t0
+        t0 = time.time()
+        z_hat = comp.decompress_dataset(Path(td) / "bench.bin",
+                                        is_info=False)
+        dec_wall = time.time() - t0
+        assert len(z_hat) == BATCH * N_BATCHES
 
     n_imgs = BATCH * N_BATCHES
     backend = jax.devices()[0].platform
@@ -238,6 +243,7 @@ def main_host_fed():
         "vs_baseline": round((n_imgs / wall) / BASELINE_IMG_PER_SEC, 3),
         "input": "host_resident_uint8_96px",
         "bits_per_img": round(rate, 2),
+        "decode_img_per_sec": round(n_imgs / dec_wall, 2),
         "backend": backend,
         "transfer_bound_tunnel": backend == "tpu",
     }))
