@@ -122,20 +122,58 @@ class PredictorTrainer:
 
     def fit(self, z_train, y_train, z_val=None, y_val=None, seed: int = 0,
             log_every: int = 0):
+        """Fit the probe on featurized arrays.
+
+        TPU framing: the (N, z_dim) features are staged in HBM ONCE and each
+        epoch is a single jitted `lax.scan` over gathered batches — no
+        per-step host indexing / device_put dispatch (the per-step path cost
+        ~1000x the step compute for big feature sets, e.g. the 1M-sample
+        banana predictor stage). Batch composition matches the per-step
+        loop: one host-generated permutation per epoch, `n // bsz` full
+        batches.
+        """
         model, params, batch_stats, tx, opt_state = self._init(
             z_train[:2], seed)
-        step = self._make_step(model, tx)
 
         n = len(z_train)
         host_rng = np.random.default_rng(seed)
         bsz = min(self.cfg.batch_size, n)
+        steps = max(1, n // bsz)
+        z_dev = jnp.asarray(z_train)
+        y_dev = jnp.asarray(y_train)
+
+        @jax.jit
+        def epoch(params, batch_stats, opt_state, z_all, y_all, order):
+            def body(carry, idx):
+                params, bs, opt = carry
+
+                def loss_fn(p):
+                    v = {"params": p}
+                    xb, yb = z_all[idx], y_all[idx]
+                    if bs:
+                        v["batch_stats"] = bs
+                        y_hat, new_state = model.apply(
+                            v, xb, training=True, mutable=["batch_stats"])
+                    else:
+                        y_hat = model.apply(v, xb, training=True)
+                        new_state = {}
+                    loss = prediction_loss(
+                        y_hat, yb, self.cfg.is_classification).mean()
+                    return loss, new_state
+                (loss, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt = tx.update(grads, opt, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state.get("batch_stats", bs), opt), loss
+            idxs = order[:steps * bsz].reshape(steps, bsz)
+            (params, batch_stats, opt_state), losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state), idxs)
+            return params, batch_stats, opt_state, losses
+
         for _ in range(self.cfg.n_epochs):
-            order = host_rng.permutation(n)
-            for i in range(0, n - bsz + 1, bsz):
-                idx = order[i:i + bsz]
-                params, batch_stats, opt_state, loss = step(
-                    params, batch_stats, opt_state,
-                    jnp.asarray(z_train[idx]), jnp.asarray(y_train[idx]))
+            order = jnp.asarray(host_rng.permutation(n))
+            params, batch_stats, opt_state, _ = epoch(
+                params, batch_stats, opt_state, z_dev, y_dev, order)
 
         return self._finalize(model, params, batch_stats)
 
