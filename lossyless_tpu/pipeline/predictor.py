@@ -57,11 +57,23 @@ class Predictor(nn.Module):
         return self.predictor(features, training=training)
 
 
-def featurize_dataset(featurize_fn, batches) -> tuple[np.ndarray, np.ndarray]:
-    """Run the frozen featurizer over (x, y, aux) batches -> (Z, Y) arrays."""
+def featurize_dataset(featurize_fn, batches,
+                      pad_to: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Run the frozen featurizer over (x, y, aux) batches -> (Z, Y) arrays.
+
+    `pad_to`: pad a ragged final batch up to this size (repeating the last
+    row) and trim its features — keeps ONE compiled program shape (and mesh
+    divisibility) while featurizing every sample instead of dropping the
+    tail.
+    """
     zs, ys = [], []
     for x, y, _ in batches:
-        zs.append(np.asarray(featurize_fn(x)))
+        n = len(x)
+        if pad_to is not None and n < pad_to:
+            reps = np.broadcast_to(np.asarray(x)[-1:],
+                                   (pad_to - n,) + np.asarray(x).shape[1:])
+            x = np.concatenate([np.asarray(x), reps])
+        zs.append(np.asarray(featurize_fn(x))[:n])
         ys.append(np.asarray(y))
     return np.concatenate(zs), np.concatenate(ys)
 

@@ -416,12 +416,19 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
         # encode the eval set through the *encoder* then the real coder
         n, total_bytes = 0, 0
         t_enc, t_comp, t_dec = 0.0, 0.0, 0.0
-        bs = min(cfg.data_feat.val_batch_size, len(val_ds))
+        mesh, data_sh, repl = _training_mesh(cfg)
+        n_dev = mesh.devices.size
+        bs = _round_bsz(min(cfg.data_feat.val_batch_size, len(val_ds)),
+                        n_dev)
         variables = _model_variables(state)
+        if n_dev > 1:
+            variables = jax.device_put(variables, repl)
         enc = _jit_method(model, "encode")
         warmed = False
         for x, y, aux in val_ds.batches(bs, n_epochs=1,
                                         seed=cfg.trainer.seed):
+            if n_dev > 1:
+                x = jax.device_put(jnp.asarray(x), data_sh)
             if not warmed:  # compile outside the timing
                 jax.block_until_ready(enc(variables, x))
                 warmed = True
@@ -517,19 +524,35 @@ def _predictor_datasets(cfg: ExperimentConfig, train_ds, val_ds):
     return pred_train, pred_val, scratch.target_shape
 
 
+def _all_batches(ds, bsz: int, seed: int):
+    """All samples in full batches + a ragged tail where supported."""
+    try:
+        return ds.batches(bsz, n_epochs=1, seed=seed, drop_last=False)
+    except TypeError:  # generative sources (banana) have no tail to keep
+        return ds.batches(bsz, n_epochs=1, seed=seed)
+
+
 def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict:
     stage_dir = cfg.stage_dir
 
+    mesh, data_sh, repl = _training_mesh(cfg)
+    n_dev = mesh.devices.size
     variables = _model_variables(state)
+    if n_dev > 1:
+        variables = jax.device_put(variables, repl)
     _feat = _jit_method(model, "features")
 
     def feat_fn(x):
+        x = jnp.asarray(x)
+        if n_dev > 1 and len(x) % n_dev == 0:
+            x = jax.device_put(x, data_sh)
         return _feat(variables, x)
 
     data_cfg = cfg.data_pred or cfg.data_feat
     pred_train, pred_val, target_shape = _predictor_datasets(
         cfg, train_ds, val_ds)
 
+    bsz = _round_bsz(data_cfg.batch_size, n_dev)
     if cfg.predictor.is_on_the_fly:
         # frozen featurizer fused into the probe's train step; fresh
         # augmentations on raw inputs every epoch (main.py:163)
@@ -539,15 +562,14 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
         trainer.fit_onfly(pred_train, feat_fn, seed=cfg.trainer.seed)
     else:
         z_tr, y_tr = featurize_dataset(
-            feat_fn, pred_train.batches(data_cfg.batch_size, n_epochs=1,
-                                        seed=cfg.trainer.seed))
+            feat_fn, _all_batches(pred_train, bsz, cfg.trainer.seed),
+            pad_to=bsz)
         trainer = PredictorTrainer(cfg.predictor, z_tr.shape[-1],
                                    target_shape)
         trainer.fit(z_tr, y_tr, seed=cfg.trainer.seed)
 
     z_te, y_te = featurize_dataset(
-        feat_fn, pred_val.batches(data_cfg.batch_size, n_epochs=1,
-                                  seed=cfg.trainer.seed))
+        feat_fn, _all_batches(pred_val, bsz, cfg.trainer.seed), pad_to=bsz)
     # published per-class weight tables feed the balanced metrics for the
     # imbalanced reference datasets (utils/data/helpers.py:93-238)
     from ..data.balancing import get_balancing_weights
