@@ -39,6 +39,14 @@ def main(argv=None):
                              "training (classical_compressors.py equivalent)")
     args = parser.parse_args(argv)
 
+    # multi-host: no-op unless JAX_COORDINATOR_ADDRESS is set; must run
+    # before the backend initializes (reference: submitit/SLURM wires
+    # trainer.num_nodes, config/main.yaml:123 — here the launcher exports
+    # coordinator env vars and every process runs the same CLI command)
+    from .core.mesh import init_distributed
+
+    init_distributed()
+
     from .pipeline.config import ExperimentConfig, apply_overrides, preset
     from .pipeline.run import main as run_main
 
