@@ -228,9 +228,13 @@ def main_host_fed():
             ((xb, None) for xb in data), Path(td) / "bench.bin",
             is_info=False)
         wall = time.time() - t0
+        # warm the dequantize program at the SAME batch shape so decode
+        # timing excludes compile/first-touch
+        comp.decompress_dataset(Path(td) / "warm.bin", is_info=False,
+                                batch_size=BATCH)
         t0 = time.time()
         z_hat = comp.decompress_dataset(Path(td) / "bench.bin",
-                                        is_info=False)
+                                        is_info=False, batch_size=BATCH)
         dec_wall = time.time() - t0
         assert len(z_hat) == BATCH * N_BATCHES
 

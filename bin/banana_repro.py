@@ -49,9 +49,9 @@ def main(mode="VIC", n_epochs=100, batch_size=1024, steps_per_epoch=1000):
     for epoch in range(n_epochs):
         state, logs = epoch_fn(state, jax.random.key(epoch + 1))
         if epoch % 10 == 0 or epoch == n_epochs - 1:
-            print(f"epoch {epoch:3d}: rate={float(logs['rate']):.3f} bits "
-                  f"dist={float(logs['distortion']):.4f} "
-                  f"loss={float(logs['loss']):.4f} "
+            print(f"epoch {epoch:3d}: rate={float(logs['rate'][-1]):.3f} bits "
+                  f"dist={float(logs['distortion'][-1]):.4f} "
+                  f"loss={float(logs['loss'][-1]):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
 
     # eval on fresh samples

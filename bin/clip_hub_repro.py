@@ -62,7 +62,7 @@ def train_one(features, targets, beta, n_epochs=15, steps=200, batch=512):
     epoch_fn = make_generative_epoch(sample_fn, steps)
     for e in range(n_epochs):
         state, logs = epoch_fn(state, jax.random.key(e + 1))
-    return state, float(logs["rate"]), float(logs["distortion"])
+    return state, float(logs["rate"][-1]), float(logs["distortion"][-1])
 
 
 def main(argv=None):

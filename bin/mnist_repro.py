@@ -55,8 +55,8 @@ def main(n_epochs=20, steps_per_epoch=200, batch_size=256):
     for epoch in range(n_epochs):
         state, logs = epoch_fn(state, jax.random.key(epoch + 1))
         if epoch % 5 == 0 or epoch == n_epochs - 1:
-            print(f"epoch {epoch:3d}: rate={float(logs['rate']):.1f} bits "
-                  f"dist={float(logs['distortion']):.1f} "
+            print(f"epoch {epoch:3d}: rate={float(logs['rate'][-1]):.1f} bits "
+                  f"dist={float(logs['distortion'][-1]):.1f} "
                   f"online_acc={float(logs.get('online_acc', 0)):.3f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
 

@@ -277,16 +277,19 @@ class ImageDataset:
         import zlib
 
         frac = self.val_fraction or 0.1
-        seen = ImageDataset._carve_fractions.setdefault(self.name, frac)
+        data, targets = self._load_any("train")
+        # registered only after a successful load, keyed per data root:
+        # independent experiments over different data_dirs don't conflict
+        reg_key = (self.name, str(self.data_dir))
+        seen = ImageDataset._carve_fractions.setdefault(reg_key, frac)
         if seen != frac:
             raise ValueError(
                 f"{self.name}: val_fraction={frac} conflicts with "
-                f"val_fraction={seen} used by an earlier instance — train/"
-                f"validation splits would overlap. Use one fraction per "
-                f"dataset (or reset ImageDataset._carve_fractions in "
-                f"tests).")
-
-        data, targets = self._load_any("train")
+                f"val_fraction={seen} used by an earlier instance on the "
+                f"same data root — their train/validation splits would "
+                f"overlap. Use one fraction per dataset, or clear "
+                f"ImageDataset._carve_fractions when re-splitting "
+                f"deliberately.")
         n = len(data)
         n_val = max(1, int(round(n * frac)))
         perm = np.random.default_rng(

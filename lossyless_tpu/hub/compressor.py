@@ -115,11 +115,12 @@ class ClipCompressor:
     # -- device programs ----------------------------------------------------
 
     def _maybe_preprocess(self, x):
-        """Fused device preprocess for raw uint8 inputs (raw_input_hw)."""
-        if self.raw_input_hw is None:
-            return x
-        x = x.astype(jnp.float32) * (1.0 / 255.0)
-        return clip_preprocess(x)
+        """Fused device preprocess for raw uint8 inputs (raw_input_hw).
+
+        Same computation as the public `preprocess_batch`, traced into the
+        encode program rather than run as a separate dispatch.
+        """
+        return x if self.raw_input_hw is None else self.preprocess_batch(x)
 
     def _embed(self, x):
         """Normalized [0,1] NHWC 224px images -> 512-d CLIP embedding."""

@@ -145,9 +145,32 @@ def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
                      for k, v in params.items()]
         cfg = apply_overrides(copy.deepcopy(base_cfg), overrides)
         cfg.experiment = f"{base_cfg.experiment}_optuna{trial.number}"
+        worst = math.inf if direction == "minimize" else -math.inf
+
+        if prune and cfg.data_feat.n_epochs >= 2:
+            # same rung mechanism as the built-in searcher: a short
+            # featurizer-only run reported as the intermediate value so the
+            # MedianPruner can actually act; the full run below resumes
+            # from the rung's checkpoint
+            rung_cfg = copy.deepcopy(cfg)
+            rung_cfg.data_feat = copy.deepcopy(cfg.data_feat)
+            rung_cfg.data_feat.n_epochs = max(
+                1, int(cfg.data_feat.n_epochs * 0.25))
+            rung_cfg.is_only_feat = True
+            rung_cfg.is_skip_comm = True
+            rung_cfg.out_dir = str(Path(cfg.out_dir) / "rungs")
+            rung_metrics = run_fn(rung_cfg)
+            rv = rung_metrics.get("test/feat/loss", math.inf)
+            rv = float(rv) if (rv is not None and np.isfinite(rv)) \
+                else math.inf
+            # the rung metric is lower-better regardless of direction
+            trial.report(rv if direction == "minimize" else -rv,
+                         step=rung_cfg.data_feat.n_epochs)
+            if trial.should_prune():
+                raise optuna.TrialPruned()
+
         metrics = run_fn(cfg)
         # failed/missing trials must be the WORST value for the direction
-        worst = math.inf if direction == "minimize" else -math.inf
         value = metrics.get(monitor, worst)
         return value if np.isfinite(value) else worst
 

@@ -78,23 +78,42 @@ def _round_bsz(bsz: int, n_devices: int) -> int:
     return max(n_devices, bsz - bsz % n_devices)
 
 
+def _fit_bsz(requested: int, n: int, n_devices: int) -> int:
+    """Batch size clamped to the dataset and mesh-divisible when possible.
+
+    Datasets smaller than the mesh fall back to an unsharded batch (the
+    per-batch shard guards skip non-divisible batches) rather than
+    producing a batch size larger than the data, which would yield zero
+    batches under drop_last.
+    """
+    b = max(1, min(requested, n))
+    if n_devices > 1 and n >= n_devices:
+        b = max(n_devices, b - b % n_devices)
+    return b
+
+
 # one jitted compilation of {encode, features} per model per process: the
 # stages (featurizer eval, communication, predictor) share it instead of
-# re-jitting fresh closures per stage (VERDICT r2 weak #3). Values hold a
-# strong ref to the model so id() keys cannot be recycled while cached.
-_JIT_CACHE: dict = {}
+# re-jitting fresh closures per stage (VERDICT r2 weak #3). LRU keyed by
+# model identity; values hold a strong ref to the model so id() keys cannot
+# be recycled while cached, and eviction drops only the coldest entry.
+from collections import OrderedDict
+
+_JIT_CACHE: OrderedDict = OrderedDict()
+_JIT_CACHE_MAX = 64
 
 
 def _jit_method(model, method: str):
     key = (id(model), method)
     hit = _JIT_CACHE.get(key)
     if hit is not None and hit[0] is model:
+        _JIT_CACHE.move_to_end(key)
         return hit[1]
-    if len(_JIT_CACHE) > 64:
-        _JIT_CACHE.clear()
     fn = jax.jit(lambda variables, x: model.apply(variables, x,
                                                   method=method))
     _JIT_CACHE[key] = (model, fn)
+    while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+        _JIT_CACHE.popitem(last=False)
     return fn
 
 
@@ -194,12 +213,13 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
     acc = MetricAccumulator()
     limit = cfg.trainer.limit_eval_batches
     n_dev = mesh.devices.size if mesh is not None else 1
-    batch_size = _round_bsz(min(batch_size, len(dataset)), n_dev)
-    batches = list(dataset.batches(batch_size, n_epochs=1,
-                                   seed=cfg.trainer.seed))
+    batch_size = _fit_bsz(batch_size, len(dataset), n_dev)
+    # all samples (ragged tail kept): test metrics cover the whole split
+    batches = list(_all_batches(dataset, batch_size, cfg.trainer.seed))
     if data_sharding is not None:
         batches = [jax.tree.map(
-            lambda a: jax.device_put(a, data_sharding), b) for b in batches]
+            lambda a: jax.device_put(a, data_sharding), b)
+            if len(b[0]) % n_dev == 0 else b for b in batches]
     n_keep = max(1, int(len(batches) * limit))
     for i, b in enumerate(batches[:n_keep]):
         _, logs = eval_step(state, b, jax.random.key(1000 + i))
@@ -228,7 +248,11 @@ def run_featurizer(cfg: ExperimentConfig):
 
     mesh, data_sh, repl = _training_mesh(cfg)
     n_dev = mesh.devices.size
-    bsz = _round_bsz(min(cfg.data_feat.batch_size, len(train_ds)), n_dev)
+    if len(train_ds) < n_dev:
+        raise ValueError(
+            f"trainer.n_devices={n_dev} but the training set has only "
+            f"{len(train_ds)} samples — cannot shard one batch per chip.")
+    bsz = _fit_bsz(cfg.data_feat.batch_size, len(train_ds), n_dev)
     limit = cfg.trainer.limit_train_batches
     steps_per_epoch = max(1, int((len(train_ds) // bsz) * limit))
 
@@ -335,11 +359,10 @@ def run_featurizer(cfg: ExperimentConfig):
         # epoch-end validation + checkpointing
         acc = MetricAccumulator()
         from ..train.state import eval_step
-        vbs = _round_bsz(min(cfg.data_feat.val_batch_size, len(val_ds)),
-                         n_dev)
+        vbs = _fit_bsz(cfg.data_feat.val_batch_size, len(val_ds), n_dev)
         vb = list(val_ds.batches(vbs, n_epochs=1, seed=cfg.trainer.seed))
         for j, b in enumerate(vb[:max(1, int(len(vb) * cfg.trainer.limit_eval_batches))]):
-            if n_dev > 1:
+            if n_dev > 1 and len(b[0]) % n_dev == 0:
                 b = jax.tree.map(lambda a: jax.device_put(a, data_sh), b)
             _, vlogs = eval_step(state, b, jax.random.key(2000 + j))
             acc.update(vlogs, weight=len(b[0]))
@@ -418,8 +441,7 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
         t_enc, t_comp, t_dec = 0.0, 0.0, 0.0
         mesh, data_sh, repl = _training_mesh(cfg)
         n_dev = mesh.devices.size
-        bs = _round_bsz(min(cfg.data_feat.val_batch_size, len(val_ds)),
-                        n_dev)
+        bs = _fit_bsz(cfg.data_feat.val_batch_size, len(val_ds), n_dev)
         variables = _model_variables(state)
         if n_dev > 1:
             variables = jax.device_put(variables, repl)
@@ -427,7 +449,7 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
         warmed = False
         for x, y, aux in val_ds.batches(bs, n_epochs=1,
                                         seed=cfg.trainer.seed):
-            if n_dev > 1:
+            if n_dev > 1 and len(x) % n_dev == 0:
                 x = jax.device_put(jnp.asarray(x), data_sh)
             if not warmed:  # compile outside the timing
                 jax.block_until_ready(enc(variables, x))
@@ -552,7 +574,7 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
     pred_train, pred_val, target_shape = _predictor_datasets(
         cfg, train_ds, val_ds)
 
-    bsz = _round_bsz(data_cfg.batch_size, n_dev)
+    bsz = _fit_bsz(data_cfg.batch_size, len(pred_train), n_dev)
     if cfg.predictor.is_on_the_fly:
         # frozen featurizer fused into the probe's train step; fresh
         # augmentations on raw inputs every epoch (main.py:163)
