@@ -1,0 +1,92 @@
+"""Device-step microbenchmark for the encode hot path (PERF.md evidence).
+
+Times the pure device program (preprocess + ViT-B/32 + EB symbols, no host
+rANS) for a grid of variants, printing ms/batch and img/s. Used to document
+the MFU floor and to evaluate kernel experiments (attention impl, fused MLP,
+batch size) against the ~23 ms pure-matmul bound at batch 512
+(197 TFLOP/s bf16 on v5e).
+
+Usage: python bin/device_step_bench.py [--variants v1,v2,...]
+Variants: b512 (default config), b1024, b256, einsum (XLA attention),
+mlp_pallas (fused MLP half-block).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_variant(name: str, batch: int, attn_impl: str = "auto",
+                mlp_impl: str = "xla", reps: int = 12) -> dict:
+    from lossyless_tpu.coding import entropy_bottleneck as eb
+    from lossyless_tpu.hub.load_reference import load_factorized_rate
+    from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, VisionTransformer
+
+    eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
+    eb_params = {k: jnp.asarray(v) for k, v in eb_params_np.items()}
+    scaling = jnp.asarray(scaling_np)
+    biasing = jnp.asarray(biasing_np)
+
+    model = VisionTransformer(attn_impl=attn_impl, mlp_impl=mlp_impl)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((8, 224, 224, 3)))["params"]
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    norm_a = jnp.asarray(1.0 / (255.0 * CLIP_STD), jnp.bfloat16)
+    norm_b = jnp.asarray(-CLIP_MEAN / CLIP_STD, jnp.bfloat16)
+
+    @jax.jit
+    def step(params, bits, salt):
+        xb = bits ^ salt
+        x = xb.astype(jnp.bfloat16) * norm_a + norm_b
+        z = model.apply({"params": params}, x)
+        z_in = (z.astype(jnp.float32) + biasing) * jnp.exp(scaling)
+        med = eb.medians(eb_params)[None, :]
+        return jnp.round(z_in - med).astype(jnp.int8)
+
+    bits = jax.random.bits(jax.random.key(0), (batch, 224, 224, 3),
+                           jnp.uint8)
+    jax.block_until_ready(step(params, bits, jnp.uint8(255)))
+
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(params, bits, jnp.uint8(r)))
+        times.append(time.perf_counter() - t0)
+    # interquartile mean: robust to tunnel stalls
+    ts = sorted(times)
+    q = len(ts) // 4
+    mid = ts[q:len(ts) - q] or ts
+    best = sum(mid) / len(mid)
+    return {"variant": name, "batch": batch,
+            "ms_per_batch": round(best * 1e3, 2),
+            "img_per_sec_device": round(batch / best, 1),
+            "min_ms": round(min(times) * 1e3, 2)}
+
+
+VARIANTS = {
+    "b512": dict(batch=512),
+    "b1024": dict(batch=1024),
+    "b256": dict(batch=256),
+    "einsum": dict(batch=512, attn_impl="einsum"),
+    "mlp_pallas": dict(batch=512, mlp_impl="pallas"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="b512,b1024")
+    args = ap.parse_args()
+    for v in args.variants.split(","):
+        v = v.strip()
+        print(json.dumps(run_variant(v, **VARIANTS[v])), flush=True)
+
+
+if __name__ == "__main__":
+    main()
