@@ -72,3 +72,32 @@ def test_sharded_compress_dataset_roundtrip(rate_weights, tmp_path):
     assert z.shape == (16, 512)
     assert y.shape == (16,)
     assert rate > 0
+
+
+def test_sharded_raw_input_and_ragged_batch(rate_weights):
+    """mesh + raw_input_hw + a batch NOT divisible by the mesh: the fused
+    device preprocess runs per-shard under shard_map, padded rows are
+    dropped, and streams match the single-chip raw path exactly."""
+    from lossyless_tpu.nn.vit import VisionTransformer
+
+    eb_params, scaling, biasing = rate_weights
+    tiny = VisionTransformer(patch_size=32, width=64, layers=2, heads=2,
+                             out_dim=512, dtype=jnp.float32)
+    mesh = make_mesh(8)
+    kw = dict(clip_params=None, dtype=jnp.float32, seed=0, model=tiny,
+              raw_input_hw=(96, 96))
+    comp_1 = ClipCompressor(eb_params, scaling, biasing, **kw)
+    comp_8 = ClipCompressor(eb_params, scaling, biasing, mesh=mesh, **kw)
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (11, 96, 96, 3)).astype(np.uint8)  # ragged
+
+    s1 = comp_1.compress(raw)
+    s8 = comp_8.compress(raw)
+    assert len(s1) == len(s8) == 11
+    assert all(a == b for a, b in zip(s1, s8))
+
+    f1 = np.asarray(comp_1(raw))
+    f8 = np.asarray(comp_8(raw))
+    assert f1.shape == f8.shape == (11, 512)
+    np.testing.assert_allclose(f1, f8, rtol=1e-5, atol=1e-5)
