@@ -11,6 +11,10 @@ Structural conventions preserved:
   relies on (rates.py:760-813).
 * Non-power-of-2 sides are resized to the closest power of two
   (architectures.py:481-509) with bilinear `jax.image.resize`.
+
+Mixed precision: `dtype="bfloat16"` runs convs/matmuls in bf16 on the MXU
+(reference fp16 `trainer.precision: 16` analog); params and norm statistics
+stay fp32, and decoder outputs are returned fp32.
 """
 
 from __future__ import annotations
@@ -38,9 +42,11 @@ class CNNEncoder(nn.Module):
     norm_layer: str = "batchnorm"
     activation: str = "relu"
     n_layers: int | None = None
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
+        d = jnp.dtype(self.dtype)
         h, w, _ = self.in_shape
         h2, w2 = _closest_pow2(h), _closest_pow2(w)
         if (h2, w2) != (h, w):
@@ -48,13 +54,14 @@ class CNNEncoder(nn.Module):
         n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
         use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation)()
+        x = x.astype(d)
         for i in range(n_layers):
             x = nn.Conv(self.hid_dim * 2 ** i, (3, 3), strides=2, padding=1,
-                        use_bias=use_bias)(x)
+                        use_bias=use_bias, dtype=d)(x)
             x = apply_norm(self.norm_layer, x, training=training)
-            x = act(x)
+            x = act(x).astype(d)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.out_dim)(x)
+        return nn.Dense(self.out_dim, dtype=d)(x).astype(jnp.float32)
 
 
 class CNNDecoder(nn.Module):
@@ -65,9 +72,11 @@ class CNNDecoder(nn.Module):
     norm_layer: str = "batchnorm"
     activation: str = "relu"
     n_layers: int | None = None
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, z, *, training: bool = False):
+        d = jnp.dtype(self.dtype)
         h, w, c = self.out_shape
         h2, w2 = _closest_pow2(h), _closest_pow2(w)
         n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
@@ -77,19 +86,21 @@ class CNNDecoder(nn.Module):
         channels = [self.hid_dim * 2 ** i for i in range(n_layers)][::-1]
         end_h, end_w = h2 // 2 ** n_layers, w2 // 2 ** n_layers
 
-        x = nn.Dense(channels[0] * end_h * end_w, use_bias=use_bias)(z)
+        x = nn.Dense(channels[0] * end_h * end_w, use_bias=use_bias,
+                     dtype=d)(z.astype(d))
         x = x.reshape(z.shape[0], end_h, end_w, channels[0])
         outs = channels[1:] + [c]
         for i, out_chan in enumerate(outs):
             is_last = i == len(outs) - 1
             x = apply_norm(self.norm_layer, x, training=training)
-            x = act(x)
+            x = act(x).astype(d)
             x = nn.ConvTranspose(out_chan, (3, 3), strides=(2, 2),
                                  padding="SAME",
-                                 use_bias=use_bias or is_last)(x)
+                                 use_bias=use_bias or is_last, dtype=d)(x)
         if (h2, w2) != (h, w):
-            x = jax.image.resize(x, (x.shape[0], h, w, c), "bilinear")
-        return x
+            x = jax.image.resize(x.astype(jnp.float32),
+                                 (x.shape[0], h, w, c), "bilinear")
+        return x.astype(jnp.float32)
 
 
 class BalleEncoder(nn.Module):
@@ -101,6 +112,7 @@ class BalleEncoder(nn.Module):
     n_layers: int = 4
     norm_layer: str = "batchnorm"
     activation: str = "relu"
+    dtype: str = "float32"
 
     @property
     def channel_out_dim(self) -> int:
@@ -117,15 +129,17 @@ class BalleEncoder(nn.Module):
             x = jax.image.resize(x, (x.shape[0], h2, w2, x.shape[-1]), "bilinear")
         use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation)()
+        d = jnp.dtype(self.dtype)
+        x = x.astype(d)
         for i in range(self.n_layers):
             is_last = i == self.n_layers - 1
             out_c = self.channel_out_dim if is_last else self.hid_dim
             x = nn.Conv(out_c, (5, 5), strides=2, padding=2,
-                        use_bias=use_bias or is_last)(x)
+                        use_bias=use_bias or is_last, dtype=d)(x)
             if not is_last:
                 x = apply_norm(self.norm_layer, x, training=training)
-                x = act(x)
-        return x.reshape(x.shape[0], -1)
+                x = act(x).astype(d)
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 class BalleDecoder(nn.Module):
@@ -137,6 +151,7 @@ class BalleDecoder(nn.Module):
     n_layers: int = 4
     norm_layer: str = "batchnorm"
     activation: str = "relu"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, z, *, training: bool = False):
@@ -146,16 +161,18 @@ class BalleDecoder(nn.Module):
         chan = self.in_dim // (end_h * end_w)
         use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation, inverse=True)()
+        d = jnp.dtype(self.dtype)
 
-        x = z.reshape(z.shape[0], end_h, end_w, chan)
+        x = z.reshape(z.shape[0], end_h, end_w, chan).astype(d)
         for i in range(self.n_layers):
             is_last = i == self.n_layers - 1
             out_c = c if is_last else self.hid_dim
             x = nn.ConvTranspose(out_c, (5, 5), strides=(2, 2), padding="SAME",
-                                 use_bias=use_bias or is_last)(x)
+                                 use_bias=use_bias or is_last, dtype=d)(x)
             if not is_last:
                 x = apply_norm(self.norm_layer, x, training=training)
-                x = act(x)
+                x = act(x).astype(d)
         if (h2, w2) != (h, w):
-            x = jax.image.resize(x, (x.shape[0], h, w, c), "bilinear")
-        return x
+            x = jax.image.resize(x.astype(jnp.float32),
+                                 (x.shape[0], h, w, c), "bilinear")
+        return x.astype(jnp.float32)

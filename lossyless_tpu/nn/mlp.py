@@ -33,20 +33,22 @@ class MLP(nn.Module):
     norm_layer: str = "identity"
     activation: str = "relu"
     dropout_p: float = 0.0
+    dtype: str = "float32"  # "bfloat16" = MXU mixed precision (params fp32)
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
+        d = jnp.dtype(self.dtype)
         use_bias = norm_uses_bias(self.norm_layer)
         act = get_activation(self.activation)()
         # flatten everything but batch into features
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1).astype(d)
         for _ in range(self.n_hid_layers):
-            x = nn.Dense(self.hid_dim, use_bias=use_bias)(x)
+            x = nn.Dense(self.hid_dim, use_bias=use_bias, dtype=d)(x)
             x = apply_norm(self.norm_layer, x, training=training)
-            x = act(x)
+            x = act(x).astype(d)
             if self.dropout_p > 0:
                 x = nn.Dropout(self.dropout_p, deterministic=not training)(x)
-        return nn.Dense(self.out_dim)(x)
+        return nn.Dense(self.out_dim, dtype=d)(x).astype(jnp.float32)
 
 
 class FlattenMLP(nn.Module):
@@ -58,6 +60,7 @@ class FlattenMLP(nn.Module):
     norm_layer: str = "identity"
     activation: str = "relu"
     dropout_p: float = 0.0
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -69,6 +72,7 @@ class FlattenMLP(nn.Module):
             norm_layer=self.norm_layer,
             activation=self.activation,
             dropout_p=self.dropout_p,
+            dtype=self.dtype,
         )(x, training=training)
         return y.reshape((x.shape[0],) + out_shape)
 

@@ -4,6 +4,11 @@ Flax/NHWC equivalent of `/root/reference/lossyless/architectures.py:235-309`:
 torchvision resnets whose first conv is replaced by 3x3/stride-1 and whose
 stem max-pool is dropped when the input side is < 100 (CIFAR/MNIST-scale), and
 whose final fc maps to `out_dim`.
+
+Mixed precision: `dtype="bfloat16"` runs convs/matmuls in bf16 on the MXU
+(the TPU analog of the reference's fp16 `trainer.precision: 16`); params and
+BatchNorm statistics stay fp32 (inputs auto-promote through the fp32 norm
+params), so updates are full-precision.
 """
 
 from __future__ import annotations
@@ -18,18 +23,21 @@ import jax.numpy as jnp
 class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
+        d = jnp.dtype(self.dtype)
+        conv = partial(nn.Conv, use_bias=False, dtype=d)
         norm = partial(nn.BatchNorm, use_running_average=not training)
         residual = x
-        y = nn.Conv(self.filters, (3, 3), self.strides, padding=1, use_bias=False)(x)
+        y = conv(self.filters, (3, 3), self.strides, padding=1)(x)
         y = norm()(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False)(y)
+        y = nn.relu(y).astype(d)
+        y = conv(self.filters, (3, 3), padding=1)(y)
         y = norm(scale_init=nn.initializers.zeros)(y)
-        if residual.shape != y.shape:
-            residual = nn.Conv(self.filters, (1, 1), self.strides, use_bias=False)(x)
+        if residual.shape[-1] != y.shape[-1] or self.strides != 1:
+            residual = conv(self.filters, (1, 1), self.strides)(x)
             residual = norm()(residual)
         return nn.relu(y + residual)
 
@@ -37,22 +45,24 @@ class BasicBlock(nn.Module):
 class BottleneckBlock(nn.Module):
     filters: int
     strides: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
+        d = jnp.dtype(self.dtype)
+        conv = partial(nn.Conv, use_bias=False, dtype=d)
         norm = partial(nn.BatchNorm, use_running_average=not training)
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False)(x)
+        y = conv(self.filters, (1, 1))(x)
         y = norm()(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), self.strides, padding=1, use_bias=False)(y)
+        y = nn.relu(y).astype(d)
+        y = conv(self.filters, (3, 3), self.strides, padding=1)(y)
         y = norm()(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False)(y)
+        y = nn.relu(y).astype(d)
+        y = conv(self.filters * 4, (1, 1))(y)
         y = norm(scale_init=nn.initializers.zeros)(y)
-        if residual.shape != y.shape:
-            residual = nn.Conv(self.filters * 4, (1, 1), self.strides,
-                               use_bias=False)(x)
+        if residual.shape[-1] != y.shape[-1] or self.strides != 1:
+            residual = conv(self.filters * 4, (1, 1), self.strides)(x)
             residual = norm()(residual)
         return nn.relu(y + residual)
 
@@ -69,29 +79,34 @@ class ResNet(nn.Module):
     in_shape: Sequence[int]  # (H, W, C)
     base: str = "resnet18"
     is_no_linear: bool = False  # return pooled features without the fc head
+    dtype: str = "float32"      # "bfloat16" = MXU mixed precision
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
+        d = jnp.dtype(self.dtype)
         block, stage_sizes = STAGES[self.base]
         small_input = min(self.in_shape[0], self.in_shape[1]) < 100
 
+        x = x.astype(d)
         if small_input:
             # stem surgery for small images (architectures.py:292-297)
-            x = nn.Conv(64, (3, 3), 1, padding=1, use_bias=False)(x)
+            x = nn.Conv(64, (3, 3), 1, padding=1, use_bias=False, dtype=d)(x)
             x = nn.BatchNorm(use_running_average=not training)(x)
             x = nn.relu(x)
         else:
-            x = nn.Conv(64, (7, 7), 2, padding=3, use_bias=False)(x)
+            x = nn.Conv(64, (7, 7), 2, padding=3, use_bias=False, dtype=d)(x)
             x = nn.BatchNorm(use_running_average=not training)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = x.astype(d)
 
         for i, n_blocks in enumerate(stage_sizes):
             for j in range(n_blocks):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = block(64 * 2 ** i, strides)(x, training=training)
+                x = block(64 * 2 ** i, strides, self.dtype)(
+                    x, training=training).astype(d)
 
-        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # fp32 pool
         if self.is_no_linear:
             return x
         return nn.Dense(self.out_dim)(x)
