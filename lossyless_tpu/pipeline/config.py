@@ -58,6 +58,12 @@ class TrainerConfig:
     # training metrics sink: csv (default) | wandb | none
     # (reference main.py:434-459, config/logger/*.yaml)
     logger: str = "csv"
+    # compute precision for encoder/decoder bodies: fp32 | bf16. bf16 runs
+    # the matmuls/convs on the MXU at double rate with fp32 params + norm
+    # stats — the TPU analog of the reference's trainer.precision: 16
+    # (config/main.yaml). Entropy-model likelihoods and the rate affine
+    # remain fp32 islands regardless (SURVEY.md §5.2).
+    precision: str = "fp32"
 
 
 @dataclasses.dataclass
@@ -122,6 +128,42 @@ class ExperimentConfig:
     @property
     def stage_dir(self) -> Path:
         return Path(self.out_dir) / self.long_name
+
+
+# architectures whose modules accept a dtype= compute-precision kwarg
+_DTYPE_ARCHS = {"mlp", "cnn", "balle", "resnet", "clip", "clip_vit",
+                "clip_rn50", "simclr", "swav"}
+
+
+def apply_precision(cfg: ExperimentConfig) -> ExperimentConfig:
+    """Resolve trainer.precision into arch dtype kwargs (idempotent).
+
+    bf16 is injected into the encoder and distortion-decoder arch kwargs
+    (probes stay fp32 — they are tiny and their CE/acc metrics are the
+    product). An explicit arch_kwargs.dtype always wins.
+    """
+    if cfg.trainer.precision in ("fp32", "float32", "32", None):
+        return cfg
+    if cfg.trainer.precision not in ("bf16", "bfloat16", "16"):
+        raise ValueError(
+            f"trainer.precision={cfg.trainer.precision!r}: use fp32 or bf16")
+
+    def with_dtype(kw):
+        kw = dict(kw)
+        kw.setdefault("dtype", "bfloat16")
+        return kw
+
+    if cfg.encoder.arch in _DTYPE_ARCHS:
+        cfg.encoder = dataclasses.replace(
+            cfg.encoder, arch_kwargs=with_dtype(cfg.encoder.arch_kwargs))
+    # arch=None resolves to cnn/mlp decoders inside the estimator — all
+    # dtype-capable for the direct mode
+    if cfg.distortion.arch in _DTYPE_ARCHS or (
+            cfg.distortion.arch is None and cfg.distortion.mode == "direct"):
+        cfg.distortion = dataclasses.replace(
+            cfg.distortion,
+            arch_kwargs=with_dtype(cfg.distortion.arch_kwargs))
+    return cfg
 
 
 # ---------------------------------------------------------------------------

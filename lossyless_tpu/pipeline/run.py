@@ -243,6 +243,9 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
 
 
 def run_featurizer(cfg: ExperimentConfig):
+    from ..pipeline.config import apply_precision
+
+    cfg = apply_precision(cfg)
     stage_dir = cfg.stage_dir
     train_ds = instantiate_datamodule(cfg, cfg.data_feat)
 
@@ -608,6 +611,9 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
 
 def main(cfg: ExperimentConfig) -> dict:
     """Full pipeline with stage skipping (main.py:88-234)."""
+    from ..pipeline.config import apply_precision
+
+    cfg = apply_precision(cfg)
     stage_dir = cfg.stage_dir
     all_metrics = {}
 

@@ -74,3 +74,38 @@ def test_bf16_compressor_trains_through_config(tmp_path):
     ])
     assert np.isfinite(m["test/feat/loss"])
     assert np.isfinite(m["test/feat/rate"])
+
+
+def test_trainer_precision_flag(tmp_path):
+    """trainer.precision=bf16 injects dtype into encoder+decoder kwargs
+    (reference trainer.precision: 16); explicit arch_kwargs.dtype wins."""
+    from lossyless_tpu.pipeline.config import (apply_overrides,
+                                               apply_precision, preset)
+
+    cfg = apply_overrides(preset("mnist_vic"), ["trainer.precision=bf16"])
+    cfg = apply_precision(cfg)
+    assert cfg.encoder.arch_kwargs["dtype"] == "bfloat16"
+    assert cfg.distortion.arch_kwargs["dtype"] == "bfloat16"
+    # idempotent + explicit dtype respected
+    cfg2 = apply_overrides(preset("mnist_vic"), [
+        "trainer.precision=bf16", "encoder.arch_kwargs.dtype='float32'"])
+    cfg2 = apply_precision(apply_precision(cfg2))
+    assert cfg2.encoder.arch_kwargs["dtype"] == "float32"
+
+    import pytest as _pytest
+
+    bad = apply_overrides(preset("mnist_vic"), ["trainer.precision=fp16"])
+    with _pytest.raises(ValueError, match="precision"):
+        apply_precision(bad)
+
+    # e2e through the pipeline
+    from lossyless_tpu.cli import main
+
+    m = main([
+        "mnist_vic", "data_feat.n_epochs=1", "data_feat.batch_size=64",
+        "trainer.precision=bf16",
+        "data_feat.kwargs.synthetic=True", "data_feat.kwargs.synthetic_n=256",
+        "is_only_feat=True", "is_skip_comm=True", "trainer.log_every=0",
+        f"out_dir={tmp_path}/r", f"ckpt_dir={tmp_path}/c",
+    ])
+    assert np.isfinite(m["test/feat/loss"])
