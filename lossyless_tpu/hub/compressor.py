@@ -274,12 +274,13 @@ class ClipCompressor:
 
 
 def load_pretrained(beta: str = "b005", clip_state_dict=None,
-                    dtype=jnp.bfloat16) -> ClipCompressor:
+                    dtype=jnp.bfloat16, **kwargs) -> ClipCompressor:
     """Build a ClipCompressor from the reference's published rate weights.
 
     Mirrors the hub entry points `clip_compressor_b{001,005,01}`
     (reference hubconf.py:22-52). CLIP weights are converted when provided
-    (zero-egress environments fall back to random init).
+    (zero-egress environments fall back to random init). Extra kwargs
+    (`mesh=`, `raw_input_hw=`, ...) pass through to `ClipCompressor`.
     """
     from .load_reference import load_factorized_rate
 
@@ -287,4 +288,5 @@ def load_pretrained(beta: str = "b005", clip_state_dict=None,
     clip_params = None
     if clip_state_dict is not None:
         clip_params = convert_openai_clip_weights(clip_state_dict)
-    return ClipCompressor(eb_params, scaling, biasing, clip_params, dtype)
+    return ClipCompressor(eb_params, scaling, biasing, clip_params, dtype,
+                          **kwargs)
