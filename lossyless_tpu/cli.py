@@ -37,6 +37,10 @@ def main(argv=None):
                         choices=["jpeg", "webp", "png", "identity"],
                         help="evaluate a classical codec baseline instead of "
                              "training (classical_compressors.py equivalent)")
+    parser.add_argument("-m", "--multirun", action="store_true",
+                        help="hydra-style multirun: comma-separated override "
+                             "values expand into a cartesian sweep "
+                             "(e.g. -m loss.beta=0.01,0.1,1)")
     args = parser.parse_args(argv)
 
     # multi-host: no-op unless JAX_COORDINATOR_ADDRESS is set; must run
@@ -63,6 +67,10 @@ def main(argv=None):
     if args.overfit:
         cfg.trainer.limit_train_batches = 0.1
         cfg.trainer.limit_eval_batches = 0.1
+
+    if args.multirun:
+        return _multirun(cfg, args)
+
     cfg = apply_overrides(cfg, args.overrides)
 
     from .core.profiling import debug_mode, profile_trace
@@ -85,6 +93,52 @@ def main(argv=None):
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                       for k, v in metrics.items()}, indent=2))
     return metrics
+
+
+def _multirun(base_cfg, args):
+    """Hydra-multirun equivalent: comma lists expand to a cartesian sweep.
+
+    The reference's experiment scripts launch RD sweeps as
+    `python main.py -m featurizer.loss.beta=0.01,0.1,1 ...` (Hydra multirun,
+    bin/*/*.sh). Each job runs the full pipeline; result paths are
+    distinguished by the swept values (beta/seed/zdim/... are encoded in
+    the long_name path scheme — a `-run{i}` experiment suffix is added only
+    when a combo is NOT distinguished by its path, so the aggregator's
+    path parsing keeps working).
+    """
+    import copy
+    import itertools
+    import json as _json
+
+    from .pipeline.config import apply_overrides
+    from .pipeline.run import main as run_main
+
+    sweeps, fixed = [], []
+    for ov in args.overrides:
+        key, value = ov.split("=", 1)
+        if "," in value and not value.lstrip().startswith(("(", "[", "{")):
+            sweeps.append((key, value.split(",")))
+        else:
+            fixed.append(ov)
+    if not sweeps:
+        sweeps = [("", [""])]  # degenerate: one job
+
+    results = []
+    seen_names = set()
+    for i, combo in enumerate(itertools.product(*(v for _, v in sweeps))):
+        ovs = list(fixed) + [f"{k}={v}" for (k, _), v in zip(sweeps, combo)
+                             if k]
+        cfg = apply_overrides(copy.deepcopy(base_cfg), ovs)
+        if cfg.long_name in seen_names:
+            cfg.experiment = f"{cfg.experiment}-run{i}"
+        seen_names.add(cfg.long_name)
+        metrics = run_main(cfg)
+        rec = {"job": i, "overrides": ovs,
+               "metrics": {k: v for k, v in metrics.items()
+                           if isinstance(v, (int, float))}}
+        print(_json.dumps(rec))
+        results.append(rec)
+    return results
 
 
 if __name__ == "__main__":

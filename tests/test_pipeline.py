@@ -67,3 +67,25 @@ def test_overrides_and_presets():
     # long_name encodes the config for the aggregator
     assert "beta_5.0e-01" in cfg.long_name
     assert "rate_H_hyper" in cfg.long_name
+
+
+def test_cli_multirun_sweep(tmp_path):
+    """-m expands comma-separated overrides into a cartesian sweep (the
+    reference launches RD sweeps via hydra multirun, bin/*/*.sh)."""
+    from lossyless_tpu.cli import main
+
+    res = main([
+        "banana_viz_VIC", "-m", "loss.beta=0.05,0.2",
+        "data_feat.n_epochs=1", "data_feat.kwargs.length=2048",
+        "is_only_feat=True", "is_skip_comm=True", "trainer.log_every=0",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ])
+    assert len(res) == 2
+    assert all(np.isfinite(r["metrics"]["test/feat/loss"]) for r in res)
+    # each job landed in its own beta-distinguished result dir
+    dirs = {p.parent for p in Path(tmp_path, "results").rglob(
+        "results_featurizer.csv")}
+    assert len(dirs) == 2
+    betas = {seg for d in dirs for seg in str(d).split("/")
+             if seg.startswith("beta_")}
+    assert betas == {"beta_5.0e-02", "beta_2.0e-01"}
