@@ -34,7 +34,7 @@ agg = ResultAggregator("$OUT/results")
 print(agg.summarize().to_string())
 PY
 
-echo "=== unit tests ==="
-python -m pytest tests/ -q -x
+echo "=== unit tests (fast subset; run 'pytest tests/' for everything) ==="
+python -m pytest tests/ -q -x -m "not slow"
 
 echo "ALL OK"

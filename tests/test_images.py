@@ -225,3 +225,22 @@ def test_carve_fraction_conflict_raises():
     with pytest.raises(ValueError, match="val_fraction"):
         ImageDataset(name="cifar100", split="train", val_fraction=0.25, **kw)
     ImageDataset._carve_fractions.pop("cifar100", None)
+
+
+def test_galaxy_explicit_synthetic_flag(tmp_path):
+    """GalaxyZooDataset(synthetic=True) takes the synthetic path even when a
+    real data dir exists (ADVICE r2: the guard previously ignored the flag)."""
+    from lossyless_tpu.data.external import GalaxyZooDataset
+
+    # fabricate a real-looking data dir
+    root = tmp_path / "galaxy" / "train"
+    root.mkdir(parents=True)
+    (root / "1th_img.jpeg").write_bytes(b"")
+    np.save(tmp_path / "galaxy" / "train_targets.npy",
+            np.zeros((1, 37), np.float32))
+
+    ds = GalaxyZooDataset(split="train", data_dir=tmp_path, synthetic=True,
+                          synthetic_n=32)
+    assert ds.synthetic
+    x, y, aux = next(ds.batches(8))
+    assert x.shape[0] == 8 and np.isfinite(np.asarray(x)).all()
