@@ -75,7 +75,68 @@ def make_one(beta: str) -> None:
     print(f"{beta}: {bits:.2f} bits/img -> {out}")
 
 
+def _save_grouped(out, z, streams, z_hat):
+    """Save [z_streams, side_streams] grouped byte strings + decoded z_hat."""
+    z_streams, side_streams = streams
+    np.savez(
+        out,
+        z=z,
+        z_hat=z_hat,
+        z_stream_bytes=np.frombuffer(b"".join(z_streams), np.uint8),
+        z_stream_lens=np.asarray([len(s) for s in z_streams], np.int64),
+        side_stream_bytes=np.frombuffer(b"".join(side_streams), np.uint8),
+        side_stream_lens=np.asarray([len(s) for s in side_streams],
+                                    np.int64),
+    )
+
+
+def make_hyper() -> None:
+    """Golden vectors for the hyperprior coding chain (GaussianConditional:
+    64-level scale table, indexed rANS, side-info EB stream)."""
+    from lossyless_tpu.compressors.rates import (HRateHyperprior,
+                                                 HyperpriorCoder, RateConfig)
+
+    module = HRateHyperprior(16, RateConfig(mode="H_hyper", side_z_dim=10))
+    rng = np.random.default_rng(7)
+    z = rng.normal(0, 3, (24, 16)).astype(np.float32)
+    variables = module.init({"params": jax.random.key(0)}, jnp.asarray(z),
+                            None, training=True, rng=jax.random.key(1))
+    bs = variables.get("batch_stats")
+    coder = HyperpriorCoder(module, jax.device_get(variables["params"]),
+                            jax.device_get(bs) if bs else None)
+    streams = coder.compress(z)
+    z_hat = coder.decompress(streams)
+    _save_grouped(OUT_DIR / "streams_hyper.npz", z, streams, z_hat)
+    bits = 8 * sum(len(s) for grp in streams for s in grp) / len(z)
+    print(f"hyper: {bits:.2f} bits/sample")
+
+
+def make_spatial() -> None:
+    from lossyless_tpu.compressors.rates import (HRateHyperpriorSpatial,
+                                                 RateConfig,
+                                                 SpatialHyperpriorCoder)
+
+    module = HRateHyperpriorSpatial(64, 4, RateConfig(mode="H_spatial",
+                                                      n_channels=4,
+                                                      side_z_dim=3))
+    rng = np.random.default_rng(8)
+    z = rng.normal(0, 3, (6, 64)).astype(np.float32)
+    variables = module.init({"params": jax.random.key(0)}, jnp.asarray(z),
+                            None, training=True, rng=jax.random.key(1))
+    bs = variables.get("batch_stats")
+    coder = SpatialHyperpriorCoder(module,
+                                   jax.device_get(variables["params"]),
+                                   jax.device_get(bs) if bs else None)
+    streams = coder.compress(z)
+    z_hat = coder.decompress(streams, batch_size=len(z))
+    _save_grouped(OUT_DIR / "streams_spatial.npz", z, streams, z_hat)
+    bits = 8 * sum(len(s) for grp in streams for s in grp) / len(z)
+    print(f"spatial: {bits:.2f} bits/sample")
+
+
 if __name__ == "__main__":
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     for beta in ("b001", "b005", "b01"):
         make_one(beta)
+    make_hyper()
+    make_spatial()

@@ -78,3 +78,65 @@ def test_golden_dataset_framing(beta):
     assert buf.getvalue() == f["dataset_bytes"].tobytes()
     buf.seek(0)
     assert list(read_dataset(buf)) == golden_streams
+
+
+def _load_grouped(name):
+    f = np.load(GOLDEN / name)
+
+    def split(which):
+        raw = f[f"{which}_stream_bytes"].tobytes()
+        out, ofs = [], 0
+        for n in f[f"{which}_stream_lens"]:
+            out.append(raw[ofs:ofs + int(n)])
+            ofs += int(n)
+        return out
+    return f, [split("z"), split("side")]
+
+
+def test_golden_hyperprior_streams():
+    """Pin the GaussianConditional chain byte-exactly: scale-table CDF
+    build, indexed rANS, EB side stream (reference rates.py:697-722)."""
+    import jax
+
+    from lossyless_tpu.compressors.rates import (HRateHyperprior,
+                                                 HyperpriorCoder, RateConfig)
+
+    f, golden_streams = _load_grouped("streams_hyper.npz")
+    module = HRateHyperprior(16, RateConfig(mode="H_hyper", side_z_dim=10))
+    z = jnp.asarray(f["z"])
+    variables = module.init({"params": jax.random.key(0)}, z, None,
+                            training=True, rng=jax.random.key(1))
+    bs = variables.get("batch_stats")
+    coder = HyperpriorCoder(module, jax.device_get(variables["params"]),
+                            jax.device_get(bs) if bs else None)
+
+    streams = coder.compress(f["z"])
+    for grp, ggrp in zip(streams, golden_streams):
+        assert [bytes(s) for s in grp] == [bytes(s) for s in ggrp]
+    z_hat = coder.decompress(golden_streams)
+    np.testing.assert_array_equal(z_hat, f["z_hat"])
+
+
+def test_golden_spatial_streams():
+    import jax
+
+    from lossyless_tpu.compressors.rates import (HRateHyperpriorSpatial,
+                                                 RateConfig,
+                                                 SpatialHyperpriorCoder)
+
+    f, golden_streams = _load_grouped("streams_spatial.npz")
+    module = HRateHyperpriorSpatial(64, 4, RateConfig(mode="H_spatial",
+                                                      n_channels=4,
+                                                      side_z_dim=3))
+    z = jnp.asarray(f["z"])
+    variables = module.init({"params": jax.random.key(0)}, z, None,
+                            training=True, rng=jax.random.key(1))
+    bs = variables.get("batch_stats")
+    coder = SpatialHyperpriorCoder(module,
+                                   jax.device_get(variables["params"]),
+                                   jax.device_get(bs) if bs else None)
+    streams = coder.compress(f["z"])
+    for grp, ggrp in zip(streams, golden_streams):
+        assert [bytes(s) for s in grp] == [bytes(s) for s in ggrp]
+    z_hat = coder.decompress(golden_streams, batch_size=len(f["z"]))
+    np.testing.assert_array_equal(z_hat, f["z_hat"])
