@@ -63,3 +63,32 @@ def test_n_devices_all_and_validation(tmp_path):
     cfg = apply_overrides(cfg, [f"trainer.n_devices={len(jax.devices())+1}"])
     with pytest.raises(ValueError, match="n_devices"):
         _training_mesh(cfg)
+
+
+@pytest.mark.slow
+def test_mesh_bf16_pretrained_frozen_interact(tmp_path):
+    """The round-3 features compose: 8-device mesh x trainer.precision=bf16
+    x injected pretrained tower x frozen encoder, end-to-end."""
+    import dataclasses
+
+    import torch
+
+    from tests.test_pretrained_encoder import (_tiny_clip_cfg,
+                                               tiny_clip_state_dict)
+    from lossyless_tpu.pipeline import run as runlib
+
+    sd = tiny_clip_state_dict()
+    path = tmp_path / "tower.pt"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+    cfg = _tiny_clip_cfg()
+    cfg.encoder = dataclasses.replace(cfg.encoder,
+                                      pretrained_path=str(path))
+    cfg.trainer.n_devices = 8
+    cfg.trainer.precision = "bf16"
+    cfg.data_feat.batch_size = 64   # divisible by 8
+    cfg.out_dir = str(tmp_path / "results")
+    cfg.ckpt_dir = str(tmp_path / "ckpt")
+    metrics = runlib.main(cfg)
+    assert np.isfinite(metrics["test/feat/loss"])
+    assert np.isfinite(metrics["test/feat/rate"])
