@@ -58,7 +58,9 @@ def _probe_device(timeout_s: float = 180.0) -> None:
     code = "import jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
     import os
 
-    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "8"))
+    # observed tunnel-wedge periods run 30-40 min; 12 attempts x ~3.5 min
+    # covers one full flap cycle before giving up
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "12"))
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
