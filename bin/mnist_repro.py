@@ -57,7 +57,7 @@ def main(n_epochs=20, steps_per_epoch=200, batch_size=256):
         if epoch % 5 == 0 or epoch == n_epochs - 1:
             print(f"epoch {epoch:3d}: rate={float(logs['rate'][-1]):.1f} bits "
                   f"dist={float(logs['distortion'][-1]):.1f} "
-                  f"online_acc={float(logs.get('online_acc', 0)):.3f} "
+                  f"online_acc={float(np.asarray(logs.get('online_acc', 0)).reshape(-1)[-1]):.3f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
 
     # eval (theoretical rate + online acc on un-augmented test set)

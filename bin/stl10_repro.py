@@ -71,7 +71,7 @@ def main(n_epochs=10, steps_per_epoch=100, batch_size=128):
         state, logs = epoch_fn(state, jax.random.key(epoch + 1))
         print(f"epoch {epoch:3d}: rate={float(logs['rate'][-1]):.1f} bits "
               f"I_q_zm={float(logs['I_q_zm'][-1]):.2f} "
-              f"online_acc={float(logs.get('online_acc', 0)):.3f} "
+              f"online_acc={float(np.asarray(logs.get('online_acc', 0)).reshape(-1)[-1]):.3f} "
               f"({time.time()-t0:.1f}s)", flush=True)
 
     acc = MetricAccumulator()
