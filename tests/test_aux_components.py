@@ -163,3 +163,77 @@ def test_loggers(tmp_path):
     # wandb not installed -> falls back to CSV silently
     lg2 = get_logger("wandb", tmp_path / "w")
     lg2.log(1, {"a": 1.0})
+
+
+def test_hypopt_optuna_prune_wiring(monkeypatch, tmp_path):
+    """With optuna present and prune=True the objective REPORTS a rung value
+    and raises TrialPruned when the pruner says so (was a silent no-op)."""
+    import sys
+    import types
+
+    import numpy as _np
+
+    from lossyless_tpu.pipeline.config import preset
+
+    class TrialPruned(Exception):
+        pass
+
+    class FakeTrial:
+        def __init__(self, number, beta, prune_me):
+            self.number = number
+            self._beta = beta
+            self._prune_me = prune_me
+            self.reported = []
+
+        def suggest_float(self, name, lo, hi, log=False):
+            return self._beta
+
+        def report(self, value, step):
+            self.reported.append((value, step))
+
+        def should_prune(self):
+            return self._prune_me
+
+    class FakeStudy:
+        def __init__(self):
+            self.trials = []
+            self.best_value = None
+            self.best_params = None
+
+        def optimize(self, objective, n_trials):
+            for i in range(n_trials):
+                t = FakeTrial(i, beta=0.1 * (i + 1), prune_me=(i % 2 == 1))
+                self.trials.append(t)
+                try:
+                    v = objective(t)
+                except TrialPruned:
+                    continue
+                if self.best_value is None or v < self.best_value:
+                    self.best_value = v
+                    self.best_params = {"loss__beta": t._beta}
+
+    fake = types.ModuleType("optuna")
+    fake.TrialPruned = TrialPruned
+    fake.create_study = lambda direction, pruner=None: FakeStudy()
+    fake.pruners = types.SimpleNamespace(MedianPruner=lambda: "median")
+    monkeypatch.setitem(sys.modules, "optuna", fake)
+
+    calls = []
+
+    def fake_run(cfg):
+        calls.append((cfg.is_only_feat, cfg.data_feat.n_epochs))
+        return {"test/feat/loss": cfg.loss.beta,
+                "val/feat/loss": cfg.loss.beta}
+
+    from lossyless_tpu.pipeline.hypopt import hypopt
+
+    res = hypopt(preset("banana_viz_VIC"),
+                 {"loss.beta": ("log_uniform", 1e-3, 1.0)},
+                 monitor="val/feat/loss", n_trials=4, run_fn=fake_run,
+                 prune=True)
+    # every trial ran a rung (is_only_feat, 25 epochs); odd trials pruned
+    rungs = [c for c in calls if c[0]]
+    fulls = [c for c in calls if not c[0]]
+    assert len(rungs) == 4 and all(c[1] == 25 for c in rungs)
+    assert len(fulls) == 2                      # trials 0 and 2 survive
+    assert res["best"]["value"] is not None
