@@ -69,6 +69,10 @@ def main(argv=None):
         cfg.trainer.limit_eval_batches = 0.1
 
     if args.multirun:
+        if args.classical:
+            raise SystemExit(
+                "--classical is not supported with -m/--multirun; run the "
+                "classical baseline per configuration instead")
         return _multirun(cfg, args)
 
     cfg = apply_overrides(cfg, args.overrides)
@@ -110,6 +114,7 @@ def _multirun(base_cfg, args):
     import itertools
     import json as _json
 
+    from .core.profiling import debug_mode, profile_trace
     from .pipeline.config import apply_overrides
     from .pipeline.run import main as run_main
 
@@ -132,7 +137,10 @@ def _multirun(base_cfg, args):
         if cfg.long_name in seen_names:
             cfg.experiment = f"{cfg.experiment}-run{i}"
         seen_names.add(cfg.long_name)
-        metrics = run_main(cfg)
+        # --debug / --profile-dir apply per job (trace dirs suffixed)
+        pdir = f"{args.profile_dir}/job{i}" if args.profile_dir else None
+        with debug_mode(args.debug), profile_trace(pdir):
+            metrics = run_main(cfg)
         rec = {"job": i, "overrides": ovs,
                "metrics": {k: v for k, v in metrics.items()
                            if isinstance(v, (int, float))}}

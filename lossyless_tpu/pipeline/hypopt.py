@@ -61,7 +61,7 @@ def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
 
     try:
         return _hypopt_optuna(base_cfg, space, monitor, n_trials, direction,
-                              seed, run_fn, out_file, prune)
+                              seed, run_fn, out_file, prune, rung_fraction)
     except ImportError:
         pass
 
@@ -122,7 +122,7 @@ def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
 
 
 def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
-                   run_fn, out_file, prune=False):
+                   run_fn, out_file, prune=False, rung_fraction=0.25):
     import optuna  # noqa — optional
 
     from .config import apply_overrides
@@ -155,7 +155,7 @@ def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
             rung_cfg = copy.deepcopy(cfg)
             rung_cfg.data_feat = copy.deepcopy(cfg.data_feat)
             rung_cfg.data_feat.n_epochs = max(
-                1, int(cfg.data_feat.n_epochs * 0.25))
+                1, int(cfg.data_feat.n_epochs * rung_fraction))
             rung_cfg.is_only_feat = True
             rung_cfg.is_skip_comm = True
             rung_cfg.out_dir = str(Path(cfg.out_dir) / "rungs")

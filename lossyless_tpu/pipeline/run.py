@@ -73,11 +73,6 @@ def _training_mesh(cfg: ExperimentConfig):
     return mesh, meshlib.data_sharding(mesh), meshlib.replicated(mesh)
 
 
-def _round_bsz(bsz: int, n_devices: int) -> int:
-    """Largest batch size <= bsz divisible by the mesh (min: one per chip)."""
-    return max(n_devices, bsz - bsz % n_devices)
-
-
 def _fit_bsz(requested: int, n: int, n_devices: int) -> int:
     """Batch size clamped to the dataset and mesh-divisible when possible.
 
@@ -131,18 +126,17 @@ def _logger_kwargs(cfg: ExperimentConfig) -> dict:
     a preempted-and-resumed run continues the SAME wandb run (the reference
     uses the SLURM job id for this, config/logger/wandb.yaml).
     """
-    if cfg.trainer.logger == "csv":
-        return {"name": "train_featurizer"}
+    kwargs = {"name": "train_featurizer"}  # csv stem (also wandb fallback)
     if cfg.trainer.logger == "wandb":
         import hashlib
 
         run_id = hashlib.md5(cfg.long_name.encode()).hexdigest()[:16]
-        return {"run_id": run_id,
-                "config": {"experiment": cfg.experiment,
-                           "long_name": cfg.long_name,
-                           "beta": cfg.loss.beta,
-                           "seed": cfg.trainer.seed}}
-    return {}
+        kwargs.update(run_id=run_id,
+                      config={"experiment": cfg.experiment,
+                              "long_name": cfg.long_name,
+                              "beta": cfg.loss.beta,
+                              "seed": cfg.trainer.seed})
+    return kwargs
 
 
 def instantiate_datamodule(cfg: ExperimentConfig, data_cfg, split="train"):
@@ -231,7 +225,11 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
     enc_fn = _jit_method(model, "encode")
     variables = _model_variables(state)
     kept = batches[:n_keep]
-    jax.block_until_ready(enc_fn(variables, kept[0][0]))  # compile untimed
+    # compile untimed for EVERY distinct batch shape (the ragged tail batch
+    # has its own shape; compiling it mid-timing would inflate the metric)
+    for n in {len(b[0]) for b in kept}:
+        sample = next(b for b in kept if len(b[0]) == n)
+        jax.block_until_ready(enc_fn(variables, sample[0]))
     t0 = time.time()
     for b in kept:
         jax.block_until_ready(enc_fn(variables, b[0]))

@@ -47,16 +47,20 @@ class WandbLogger:
         self._run.finish()
 
 
-def get_logger(mode: str, out_dir, experiment: str = "dev", **kwargs):
+def get_logger(mode: str, out_dir, experiment: str = "dev",
+               name: str = "metrics", **kwargs):
+    """`name` is the CSV file stem — used by csv mode AND by the silent
+    CSV fallback when wandb is requested but not installed, so downstream
+    consumers find the train log under the same filename either way."""
     if mode in (None, "none"):
         return NoLogger()
     if mode == "csv":
-        return CsvTrainLogger(out_dir, **kwargs)
+        return CsvTrainLogger(out_dir, name)
     if mode == "wandb":
         try:
             return WandbLogger(out_dir, project=kwargs.pop("project",
                                                            "lossyless_tpu"),
                                experiment=experiment, **kwargs)
         except ImportError:
-            return CsvTrainLogger(out_dir)
+            return CsvTrainLogger(out_dir, name)
     raise ValueError(f"unknown logger mode {mode}")

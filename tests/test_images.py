@@ -218,13 +218,18 @@ def test_carve_fraction_conflict_raises():
 
     from lossyless_tpu.data.images import ImageDataset
 
-    ImageDataset._carve_fractions.pop("cifar100", None)
+    def _clear():
+        for k in [k for k in ImageDataset._carve_fractions
+                  if k[0] == "cifar100"]:
+            ImageDataset._carve_fractions.pop(k)
+
+    _clear()
     kw = dict(synthetic=True, synthetic_n=64)
     ImageDataset(name="cifar100", split="train", val_fraction=0.1, **kw)
     ImageDataset(name="cifar100", split="validation", val_fraction=0.1, **kw)
     with pytest.raises(ValueError, match="val_fraction"):
         ImageDataset(name="cifar100", split="train", val_fraction=0.25, **kw)
-    ImageDataset._carve_fractions.pop("cifar100", None)
+    _clear()
 
 
 def test_galaxy_explicit_synthetic_flag(tmp_path):
