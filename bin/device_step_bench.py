@@ -15,7 +15,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -54,20 +58,24 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
                            jnp.uint8)
     jax.block_until_ready(step(params, bits, jnp.uint8(255)))
 
-    times = []
+    # depth-2 pipeline + inter-completion gaps: a bare block_until_ready per
+    # dispatch would add one tunnel round trip to every sample
+    marks = [time.perf_counter()]
+    inflight = [step(params, bits, jnp.uint8(0)),
+                step(params, bits, jnp.uint8(1))]
     for r in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(params, bits, jnp.uint8(r)))
-        times.append(time.perf_counter() - t0)
-    # interquartile mean: robust to tunnel stalls
-    ts = sorted(times)
-    q = len(ts) // 4
-    mid = ts[q:len(ts) - q] or ts
+        jax.block_until_ready(inflight.pop(0))
+        if r + 2 < reps:
+            inflight.append(step(params, bits, jnp.uint8(2 + r)))
+        marks.append(time.perf_counter())
+    gaps = sorted(b - a for a, b in zip(marks, marks[1:]))
+    q = len(gaps) // 4
+    mid = gaps[q:len(gaps) - q] or gaps
     best = sum(mid) / len(mid)
     return {"variant": name, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1),
-            "min_ms": round(min(times) * 1e3, 2)}
+            "min_ms": round(min(gaps) * 1e3, 2)}
 
 
 VARIANTS = {
