@@ -27,7 +27,8 @@ import numpy as np
 
 
 def run_variant(name: str, batch: int, attn_impl: str = "auto",
-                mlp_impl: str = "xla", reps: int = 12) -> dict:
+                mlp_impl: str = "xla", ln_dtype: str = "float32",
+                reps: int = 12) -> dict:
     from lossyless_tpu.coding import entropy_bottleneck as eb
     from lossyless_tpu.hub.load_reference import load_factorized_rate
     from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, VisionTransformer
@@ -37,7 +38,8 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     scaling = jnp.asarray(scaling_np)
     biasing = jnp.asarray(biasing_np)
 
-    model = VisionTransformer(attn_impl=attn_impl, mlp_impl=mlp_impl)
+    model = VisionTransformer(attn_impl=attn_impl, mlp_impl=mlp_impl,
+                              ln_dtype=jnp.dtype(ln_dtype))
     params = model.init(jax.random.key(0),
                         jnp.zeros((8, 224, 224, 3)))["params"]
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
@@ -84,6 +86,7 @@ VARIANTS = {
     "b256": dict(batch=256),
     "einsum": dict(batch=512, attn_impl="einsum"),
     "mlp_pallas": dict(batch=512, mlp_impl="pallas"),
+    "ln_bf16": dict(batch=512, ln_dtype="bfloat16"),
 }
 
 

@@ -134,7 +134,10 @@ class Block(nn.Module):
 
     LayerNorm statistics in fp32 (body bf16); eps=1e-5 matches torch's
     LayerNorm, which the published CLIP weights were trained with (flax
-    defaults to 1e-6). Keeping the LNs as plain flax ops measured FASTER
+    defaults to 1e-6). The reference runs the tower under fp16 autocast but
+    OpenAI CLIP's LayerNorm subclass still computes in fp32, so fp32 is the
+    parity default; `ln_dtype=bfloat16` is an opt-in inference knob (see
+    VisionTransformer). Keeping the LNs as plain flax ops measured FASTER
     than a Pallas add+LN kernel: XLA fuses them cleanly once the attention
     einsums (whose layout preferences caused the transposed-LN problem) are
     replaced by the Pallas attention kernel.
@@ -153,10 +156,11 @@ class Block(nn.Module):
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     mlp_impl: str = "xla"  # xla | pallas
+    ln_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+        y = nn.LayerNorm(dtype=self.ln_dtype, epsilon=1e-5,
                          name="ln_1")(x).astype(self.dtype)
         x = x + MHSA(self.width, self.heads, self.dtype, self.attn_impl,
                      name="attn")(y)
@@ -169,7 +173,7 @@ class Block(nn.Module):
             prw, prb = _DenseParams(4 * self.width, self.width,
                                     name="mlp_proj")()
             return fused_mlp_block(x, lns, lnb, fcw, fcb, prw, prb)
-        y = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+        y = nn.LayerNorm(dtype=self.ln_dtype, epsilon=1e-5,
                          name="ln_2")(x).astype(self.dtype)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
         y = y * nn.sigmoid(1.702 * y)  # QuickGELU
@@ -193,6 +197,12 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     attn_impl: str = "auto"  # auto (pallas on TPU) | pallas | einsum
     mlp_impl: str = "xla"    # xla | pallas (fused MLP half-block)
+    # LayerNorm compute dtype. fp32 matches OpenAI CLIP exactly (its LN
+    # subclass upcasts even under fp16 autocast). bfloat16 is an opt-in
+    # knob; measured throughput-neutral at batch 512 on v5e (XLA already
+    # fuses the up/downcasts into the LN passes), so fp32 costs nothing.
+    # Params stay fp32 either way; checkpoints/converters are unchanged.
+    ln_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -217,12 +227,13 @@ class VisionTransformer(nn.Module):
                          nn.initializers.normal(0.02), (n_tokens, self.width))
         x = x + pos.astype(self.dtype)[None]
 
-        x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+        x = nn.LayerNorm(dtype=self.ln_dtype, epsilon=1e-5,
                          name="ln_pre")(x).astype(self.dtype)
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.layers):
             x = block_cls(self.width, self.heads, self.dtype, self.attn_impl,
-                          self.mlp_impl, name=f"block{i}")(x)
+                          self.mlp_impl, self.ln_dtype,
+                          name=f"block{i}")(x)
 
         x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
                          name="ln_post")(x[:, 0])

@@ -154,3 +154,25 @@ def test_patch_embed_equals_strided_conv():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(conv).reshape(3, -1, 16),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ln_dtype_knob_matches_fp32():
+    """ln_dtype=bfloat16 output stays within bf16 tolerance of fp32 LNs.
+
+    The knob only changes LayerNorm compute dtype (params + tree unchanged),
+    so the same variables must apply to both and agree to bf16 rounding.
+    """
+    m32 = VisionTransformer(patch_size=32, width=64, layers=2, heads=2,
+                            out_dim=32, dtype=jnp.float32)
+    mbf = VisionTransformer(patch_size=32, width=64, layers=2, heads=2,
+                            out_dim=32, dtype=jnp.float32,
+                            ln_dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 224, 224, 3)).astype(np.float32))
+    v = m32.init(jax.random.key(0), x)
+    a = m32.apply(v, x)
+    b = mbf.apply(v, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        mbf.init(jax.random.key(0), x))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0.06, atol=0.06)
