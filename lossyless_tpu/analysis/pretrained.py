@@ -18,7 +18,7 @@ class PretrainedAnalyser:
     def __init__(self, cfg, ckpt_dir: str | Path | None = None):
         from ..compressors.compressor import LearnableCompressor
         from ..pipeline.run import instantiate_datamodule
-        from ..train.checkpoints import load_weights
+        from ..train.checkpoints import load_state_weights
         from ..train.state import OptimConfig, TrainState
 
         self.cfg = cfg
@@ -32,9 +32,13 @@ class PretrainedAnalyser:
                                   jax.random.key(cfg.trainer.seed),
                                   main=OptimConfig())
         ckpt_dir = Path(ckpt_dir or cfg.ckpt_dir)
-        params = load_weights(ckpt_dir / cfg.long_name / "best_featurizer",
-                              jax.device_get(state.params))
-        self.state = state.replace(params=params)
+        params, bstats = load_state_weights(
+            ckpt_dir / cfg.long_name / "best_featurizer",
+            jax.device_get(state.params),
+            jax.device_get(state.batch_stats) if state.batch_stats else None)
+        self.state = state.replace(
+            params=params,
+            batch_stats=bstats if bstats is not None else state.batch_stats)
         self.variables = {"params": self.state.params}
         if self.state.batch_stats:
             self.variables["batch_stats"] = self.state.batch_stats

@@ -380,7 +380,9 @@ def run_featurizer(cfg: ExperimentConfig):
     if best is not None:
         state = jax.device_put(best, repl)
     save_weights(Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer",
-                 state.params)
+                 state.params,
+                 jax.device_get(state.batch_stats)
+                 if state.batch_stats else None)
     logger.finish()
 
     # final metrics on the TEST split, touched once — model selection above
@@ -630,7 +632,7 @@ def main(cfg: ExperimentConfig) -> dict:
         state = TrainState.create(model, sample,
                                   jax.random.key(cfg.trainer.seed),
                                   main=cfg.optimizer_feat)
-        from ..train.checkpoints import load_weights
+        from ..train.checkpoints import load_state_weights
         weights_path = Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer"
         if not weights_path.exists():
             raise FileNotFoundError(
@@ -639,8 +641,12 @@ def main(cfg: ExperimentConfig) -> dict:
                 f"{weights_path}. Either point ckpt_dir at the directory "
                 f"used for that run, or delete the stage sentinel to "
                 f"retrain.")
-        params = load_weights(weights_path, jax.device_get(state.params))
-        state = state.replace(params=params)
+        params, bstats = load_state_weights(
+            weights_path, jax.device_get(state.params),
+            jax.device_get(state.batch_stats) if state.batch_stats else None)
+        state = state.replace(
+            params=params,
+            batch_stats=bstats if bstats is not None else state.batch_stats)
 
     if not cfg.is_skip_comm and not is_stage_done(stage_dir, "communication"):
         comm_ds = test_ds if cfg.data_pred is None \

@@ -104,13 +104,48 @@ def mark_stage_done(out_dir: str | Path, stage: str):
     p.write_text("done\n")
 
 
-def save_weights(path: str | Path, params: Any):
-    """Weights-only export for the next stage (main.py:516-528)."""
+def save_weights(path: str | Path, params: Any, batch_stats: Any = None):
+    """Weights-only export for the next stage (main.py:516-528).
+
+    BatchNorm running statistics ride along when present — the reference's
+    export is a torch state_dict, which includes BN buffers, so dropping
+    them here would evaluate resumed ResNet/BN models with fresh stats.
+    Models without stats keep the legacy bare-params layout (old exports
+    and subtree exports stay loadable).
+    """
     path = Path(path).absolute()
     if path.exists():
         shutil.rmtree(path)
-    ocp.StandardCheckpointer().save(path, jax.device_get(params))
+    tree = jax.device_get(params)
+    if batch_stats:
+        tree = {"params": tree, "batch_stats": jax.device_get(batch_stats)}
+    ocp.StandardCheckpointer().save(path, tree)
 
 
 def load_weights(path: str | Path, target: Any):
+    """Restore a bare-params export (legacy layout) against `target`."""
     return ocp.StandardCheckpointer().restore(Path(path).absolute(), target)
+
+
+def load_state_weights(path: str | Path, params_target: Any,
+                       stats_target: Any = None):
+    """Restore a `save_weights` export -> (params, batch_stats).
+
+    Handles both layouts: the combined {params, batch_stats} tree written
+    for BN models, and the legacy bare-params layout (in which case the
+    initialized `stats_target` is returned unchanged).
+    """
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    if stats_target:
+        try:
+            out = ckptr.restore(path, {"params": params_target,
+                                       "batch_stats": stats_target})
+            return out["params"], out["batch_stats"]
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"{path}: export has no batch_stats (legacy layout); "
+                "BatchNorm running statistics fall back to init values")
+    return ckptr.restore(path, params_target), stats_target

@@ -54,3 +54,51 @@ def test_label_equivalence_in_image_pipeline():
     raw_y = ds.targets[:64]
     frac_changed = float((np.asarray(y) != raw_y).mean())
     assert frac_changed > 0.5
+
+
+@pytest.mark.slow
+def test_weights_export_preserves_batch_stats(tmp_path):
+    """BN running stats survive the weights-only export.
+
+    The reference's weights-only export is a torch state_dict, which
+    includes BatchNorm buffers (main.py:516-528); the orbax export must
+    carry them too, or a sentinel-resumed run would evaluate CNN/ResNet
+    models with freshly initialized statistics.
+    """
+    from pathlib import Path
+
+    from lossyless_tpu.compressors.compressor import LearnableCompressor
+    from lossyless_tpu.pipeline.config import apply_overrides, preset
+    from lossyless_tpu.pipeline.run import run_featurizer
+    from lossyless_tpu.train.checkpoints import load_state_weights
+    from lossyless_tpu.train.state import OptimConfig, TrainState
+
+    cfg = apply_overrides(preset("mnist_vic"), [
+        "data_feat.kwargs={'additional_target':'representative',"
+        "'synthetic':True,'synthetic_n':512}",
+        "data_feat.n_epochs=1", "data_feat.batch_size=128",
+        "data_feat.val_batch_size=128",
+        "encoder.arch_kwargs={'hid_dim':16}",
+        "distortion.arch_kwargs={'hid_dim':16}",
+        "online.arch_kwargs={'hid_dim':16}",
+        "trainer.log_every=0",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ])
+    model, state, train_ds, *_ = run_featurizer(cfg)
+    trained_bs = jax.device_get(state.batch_stats)
+    assert trained_bs, "mnist_vic CNN must carry BatchNorm batch_stats"
+
+    # the sentinel-resume rebuild: fresh init + load_state_weights
+    sample = next(train_ds.batches(128, seed=0))
+    model2 = LearnableCompressor(cfg.compressor_config())
+    state2 = TrainState.create(model2, sample, jax.random.key(7),
+                               main=OptimConfig())
+    params, bstats = load_state_weights(
+        Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer",
+        jax.device_get(state2.params), jax.device_get(state2.batch_stats))
+    flat_want = jax.tree_util.tree_leaves_with_path(trained_bs)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(bstats))
+    assert flat_want
+    for k, v in flat_want:
+        np.testing.assert_array_equal(np.asarray(flat_got[k]),
+                                      np.asarray(v))
