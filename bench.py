@@ -242,7 +242,7 @@ def main_host_fed():
 
     rng = np.random.default_rng(0)
     data = rng.integers(0, 256, (N_BATCHES, BATCH, 96, 96, 3),
-                        dtype=np.uint8)           # ~680 MB host-resident
+                        dtype=np.uint8)    # ~453 MB host-resident at defaults
 
     with tempfile.TemporaryDirectory() as td:
         # warm: compiles the fused preprocess+encode program untimed

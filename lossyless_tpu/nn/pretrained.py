@@ -17,9 +17,15 @@ Accepted formats:
   through the existing converters (`nn.vit.convert_openai_clip_weights`
   for CLIP ViT; `nn.convert_resnet.convert_torchvision_resnet` for the
   ResNet-50 SSL towers, with common SSL checkpoint prefixes stripped),
-* a ``.npz`` of already-converted flax arrays with ``/``-joined keys,
+* a ``.npz`` of already-converted flax arrays with ``/``-joined keys
+  (optionally split into ``params/...`` and ``batch_stats/...`` prefixes
+  for BN towers; bare keys are treated as params),
 * an orbax directory exported by `train.checkpoints.save_weights`
-  (restored against the initialized mapper subtree).
+  (restored against the initialized mapper subtree; the combined
+  {params, batch_stats} layout restores both collections).
+
+A tower with BatchNorm statistics loaded from a format that carries none
+warns instead of silently evaluating with init statistics.
 """
 
 from __future__ import annotations
@@ -143,15 +149,26 @@ def load_pretrained_encoder(encoder_cfg, params: dict, batch_stats: dict,
 
     params = jax.tree.map(lambda x: x, params)  # shallow-copy containers
     init_mapper = params["p_ZlX"]["mapper"]
+    init_stats = (batch_stats or {}).get("p_ZlX", {}).get("mapper", {})
 
     loaded_stats = None
     if p.is_dir():
-        from ..train.checkpoints import load_weights
+        from ..train.checkpoints import load_state_weights
 
-        mapper = load_weights(p, jax.device_get(init_mapper))
+        stats_arg = jax.device_get(init_stats) if init_stats else None
+        mapper, loaded_stats = load_state_weights(
+            p, jax.device_get(init_mapper), stats_arg)
+        if loaded_stats is stats_arg or not loaded_stats:
+            loaded_stats = None  # legacy export: nothing actually loaded
     elif p.suffix == ".npz":
         flat = dict(np.load(p))
-        mapper = _unflatten(flat)
+        stats_flat = {k[len("batch_stats/"):]: v for k, v in flat.items()
+                      if k.startswith("batch_stats/")}
+        param_flat = {
+            (k[len("params/"):] if k.startswith("params/") else k): v
+            for k, v in flat.items() if not k.startswith("batch_stats/")}
+        mapper = _unflatten(param_flat)
+        loaded_stats = _unflatten(stats_flat) if stats_flat else None
     elif p.suffix in (".pt", ".pth", ".bin"):
         sd = _load_torch_state_dict(str(p))
         base = encoder_cfg.arch_kwargs.get("base", "resnet50")
@@ -168,8 +185,15 @@ def load_pretrained_encoder(encoder_cfg, params: dict, batch_stats: dict,
     new_params["p_ZlX"]["mapper"] = _merge(init_mapper, mapper)
 
     new_stats = batch_stats
+    if init_stats and not loaded_stats:
+        import warnings
+
+        warnings.warn(
+            f"{path}: the encoder has BatchNorm statistics but the "
+            "checkpoint provides none — running statistics stay at init "
+            "values (export with batch_stats, or use a torch .pt with BN "
+            "buffers)")
     if loaded_stats:
-        init_stats = (batch_stats or {}).get("p_ZlX", {}).get("mapper", {})
         _check_shapes(init_stats, loaded_stats,
                       "encoder (batch_stats/p_ZlX/mapper)")
         new_stats = dict(batch_stats or {})

@@ -73,6 +73,21 @@ def _training_mesh(cfg: ExperimentConfig):
     return mesh, meshlib.data_sharding(mesh), meshlib.replicated(mesh)
 
 
+def _maybe_shard(tree, n_dev: int, mesh):
+    """Shard a host batch/array over the data mesh when divisible.
+
+    Ragged tail batches (size not divisible by the mesh) stay unsharded;
+    jit then handles them on the default device. One guard for every
+    pipeline call site (core.mesh.shard_batch does the actual placement).
+    """
+    if n_dev <= 1 or mesh is None:
+        return tree
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves or leaves[0].shape[0] % n_dev != 0:
+        return tree
+    return meshlib.shard_batch(tree, mesh)
+
+
 def _fit_bsz(requested: int, n: int, n_devices: int) -> int:
     """Batch size clamped to the dataset and mesh-divisible when possible.
 
@@ -200,8 +215,7 @@ def _test_dataset(cfg: ExperimentConfig, data_cfg):
 
 
 def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
-              extra_logs: dict | None = None, mesh=None,
-              data_sharding=None) -> dict:
+              extra_logs: dict | None = None, mesh=None) -> dict:
     from ..train.state import eval_step
 
     acc = MetricAccumulator()
@@ -209,11 +223,8 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
     n_dev = mesh.devices.size if mesh is not None else 1
     batch_size = _fit_bsz(batch_size, len(dataset), n_dev)
     # all samples (ragged tail kept): test metrics cover the whole split
-    batches = list(_all_batches(dataset, batch_size, cfg.trainer.seed))
-    if data_sharding is not None:
-        batches = [jax.tree.map(
-            lambda a: jax.device_put(a, data_sharding), b)
-            if len(b[0]) % n_dev == 0 else b for b in batches]
+    batches = [_maybe_shard(b, n_dev, mesh)
+               for b in _all_batches(dataset, batch_size, cfg.trainer.seed)]
     n_keep = max(1, int(len(batches) * limit))
     for i, b in enumerate(batches[:n_keep]):
         _, logs = eval_step(state, b, jax.random.key(1000 + i))
@@ -347,9 +358,7 @@ def run_featurizer(cfg: ExperimentConfig):
             for i, batch in enumerate(it):
                 if i >= steps_per_epoch:
                     break
-                if n_dev > 1:
-                    batch = jax.tree.map(
-                        lambda a: jax.device_put(a, data_sh), batch)
+                batch = _maybe_shard(batch, n_dev, mesh)
                 state, logs = train_step(
                     state, batch, jax.random.key(int(state.step)))
                 if cfg.trainer.log_every and \
@@ -363,8 +372,7 @@ def run_featurizer(cfg: ExperimentConfig):
         vbs = _fit_bsz(cfg.data_feat.val_batch_size, len(val_ds), n_dev)
         vb = list(val_ds.batches(vbs, n_epochs=1, seed=cfg.trainer.seed))
         for j, b in enumerate(vb[:max(1, int(len(vb) * cfg.trainer.limit_eval_batches))]):
-            if n_dev > 1 and len(b[0]) % n_dev == 0:
-                b = jax.tree.map(lambda a: jax.device_put(a, data_sh), b)
+            b = _maybe_shard(b, n_dev, mesh)
             _, vlogs = eval_step(state, b, jax.random.key(2000 + j))
             acc.update(vlogs, weight=len(b[0]))
         val = acc.means()
@@ -389,8 +397,7 @@ def run_featurizer(cfg: ExperimentConfig):
     # used the validation split only (reference utils/data/base.py:133-316)
     test_ds = _test_dataset(cfg, cfg.data_feat)
     metrics = _evaluate(model, state, test_ds, cfg, "feat",
-                        cfg.data_feat.val_batch_size, mesh=mesh,
-                        data_sharding=data_sh if n_dev > 1 else None)
+                        cfg.data_feat.val_batch_size, mesh=mesh)
     # hyperparam bookkeeping (reference main.py:77-85,378-385)
     metrics["n_param"] = int(sum(
         np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params)))
@@ -442,7 +449,7 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
         # encode the eval set through the *encoder* then the real coder
         n, total_bytes = 0, 0
         t_enc, t_comp, t_dec = 0.0, 0.0, 0.0
-        mesh, data_sh, repl = _training_mesh(cfg)
+        mesh, _, repl = _training_mesh(cfg)
         n_dev = mesh.devices.size
         bs = _fit_bsz(cfg.data_feat.val_batch_size, len(val_ds), n_dev)
         variables = _model_variables(state)
@@ -452,8 +459,7 @@ def run_communication(cfg: ExperimentConfig, model, state, val_ds) -> dict:
         warmed = False
         for x, y, aux in val_ds.batches(bs, n_epochs=1,
                                         seed=cfg.trainer.seed):
-            if n_dev > 1 and len(x) % n_dev == 0:
-                x = jax.device_put(jnp.asarray(x), data_sh)
+            x = _maybe_shard(jnp.asarray(x), n_dev, mesh)
             if not warmed:  # compile outside the timing
                 jax.block_until_ready(enc(variables, x))
                 warmed = True
@@ -560,7 +566,7 @@ def _all_batches(ds, bsz: int, seed: int):
 def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict:
     stage_dir = cfg.stage_dir
 
-    mesh, data_sh, repl = _training_mesh(cfg)
+    mesh, _, repl = _training_mesh(cfg)
     n_dev = mesh.devices.size
     variables = _model_variables(state)
     if n_dev > 1:
@@ -568,9 +574,7 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
     _feat = _jit_method(model, "features")
 
     def feat_fn(x):
-        x = jnp.asarray(x)
-        if n_dev > 1 and len(x) % n_dev == 0:
-            x = jax.device_put(x, data_sh)
+        x = _maybe_shard(jnp.asarray(x), n_dev, mesh)
         return _feat(variables, x)
 
     data_cfg = cfg.data_pred or cfg.data_feat

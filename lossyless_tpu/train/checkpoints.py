@@ -119,12 +119,32 @@ def save_weights(path: str | Path, params: Any, batch_stats: Any = None):
     tree = jax.device_get(params)
     if batch_stats:
         tree = {"params": tree, "batch_stats": jax.device_get(batch_stats)}
-    ocp.StandardCheckpointer().save(path, tree)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree)
+    # StandardCheckpointer commits asynchronously: block until the export
+    # is durable so callers (and preemption) can rely on it existing
+    ckptr.wait_until_finished()
 
 
 def load_weights(path: str | Path, target: Any):
     """Restore a bare-params export (legacy layout) against `target`."""
     return ocp.StandardCheckpointer().restore(Path(path).absolute(), target)
+
+
+def export_layout_keys(path: str | Path) -> set | None:
+    """Top-level keys of a `save_weights` export, or None if unreadable.
+
+    `{"params", "batch_stats"}` identifies the combined layout; anything
+    else is a legacy bare-params (or subtree) export.
+    """
+    try:
+        md = ocp.StandardCheckpointer().metadata(Path(path).absolute())
+        tree = getattr(getattr(md, "item_metadata", None), "tree", None)
+        if isinstance(tree, dict):
+            return set(tree.keys())
+    except Exception:
+        pass
+    return None
 
 
 def load_state_weights(path: str | Path, params_target: Any,
@@ -133,19 +153,26 @@ def load_state_weights(path: str | Path, params_target: Any,
 
     Handles both layouts: the combined {params, batch_stats} tree written
     for BN models, and the legacy bare-params layout (in which case the
-    initialized `stats_target` is returned unchanged).
+    initialized `stats_target` is returned unchanged, with a warning when
+    the model actually carries statistics). Layout is read from checkpoint
+    metadata, so genuine restore errors (corruption, shape drift) propagate
+    instead of being misread as a layout difference.
     """
     path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    if stats_target:
-        try:
+    if export_layout_keys(path) == {"params", "batch_stats"}:
+        if stats_target:
             out = ckptr.restore(path, {"params": params_target,
                                        "batch_stats": stats_target})
-            return out["params"], out["batch_stats"]
-        except Exception:
-            import warnings
+        else:
+            # combined export loaded into a model without initialized stats
+            # (caller validates shapes): restore without a target
+            out = ckptr.restore(path)
+        return out["params"], out["batch_stats"]
+    if stats_target:
+        import warnings
 
-            warnings.warn(
-                f"{path}: export has no batch_stats (legacy layout); "
-                "BatchNorm running statistics fall back to init values")
+        warnings.warn(
+            f"{path}: export has no batch_stats (legacy layout); "
+            "BatchNorm running statistics fall back to init values")
     return ckptr.restore(path, params_target), stats_target

@@ -196,3 +196,84 @@ def test_npz_roundtrip_and_shape_mismatch(tmp_path):
                                       pretrained_path=str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError):
         load_pretrained_encoder(enc_missing, host_params, host_stats)
+
+
+def _tiny_cnn_cfg():
+    cfg = _tiny_clip_cfg()
+    from lossyless_tpu.compressors.compressor import EncoderConfig
+
+    cfg.encoder = EncoderConfig(arch="cnn", z_dim=OUT,
+                                arch_kwargs=dict(hid_dim=16))
+    cfg.in_shape, cfg.target_shape, cfg.aux_shape = (32, 32, 3), 10, (OUT,)
+    return cfg
+
+
+def _cnn_state(cfg):
+    from lossyless_tpu.compressors.compressor import LearnableCompressor
+    from lossyless_tpu.train.state import OptimConfig, TrainState
+
+    model = LearnableCompressor(cfg.compressor_config())
+    g = np.random.default_rng(1)
+    batch = (g.normal(size=(4, 32, 32, 3)).astype(np.float32),
+             np.zeros((4,), np.int32),
+             g.normal(size=(4, OUT)).astype(np.float32))
+    return TrainState.create(model, batch, jax.random.key(0),
+                             main=OptimConfig(lr=1e-3))
+
+
+def test_npz_and_orbax_batch_stats_roundtrip(tmp_path):
+    """BN towers: batch_stats ride in npz (batch_stats/ prefix) and in the
+    combined orbax export; a stats-less file warns instead of silently
+    leaving init statistics."""
+    from lossyless_tpu.nn.pretrained import _flatten, load_pretrained_encoder
+    from lossyless_tpu.train.checkpoints import save_weights
+
+    cfg = _tiny_cnn_cfg()
+    state = _cnn_state(cfg)
+    host_p = jax.device_get(state.params)["p_ZlX"]["mapper"]
+    host_s = jax.device_get(state.batch_stats)["p_ZlX"]["mapper"]
+    assert host_s, "cnn tower must carry BN batch_stats"
+    want_p = jax.tree.map(lambda a: a + 1.0, host_p)
+    want_s = jax.tree.map(lambda a: a + 2.0, host_s)
+
+    def check(loaded_params, loaded_stats):
+        got_p = loaded_params["p_ZlX"]["mapper"]
+        got_s = loaded_stats["p_ZlX"]["mapper"]
+        for (k, v), (_, g) in zip(
+                jax.tree_util.tree_leaves_with_path(want_p),
+                jax.tree_util.tree_leaves_with_path(got_p)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(v))
+        for (k, v), (_, g) in zip(
+                jax.tree_util.tree_leaves_with_path(want_s),
+                jax.tree_util.tree_leaves_with_path(got_s)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(v))
+
+    # npz with params/ + batch_stats/ prefixes
+    flat = {f"params/{k}": v for k, v in _flatten(want_p).items()}
+    flat.update({f"batch_stats/{k}": v
+                 for k, v in _flatten(want_s).items()})
+    np.savez(tmp_path / "tower.npz", **flat)
+    enc = dataclasses.replace(cfg.encoder,
+                              pretrained_path=str(tmp_path / "tower.npz"))
+    check(*load_pretrained_encoder(enc, jax.device_get(state.params),
+                                   jax.device_get(state.batch_stats)))
+
+    # combined orbax export
+    save_weights(tmp_path / "tower_orbax", want_p, want_s)
+    enc = dataclasses.replace(cfg.encoder,
+                              pretrained_path=str(tmp_path / "tower_orbax"))
+    check(*load_pretrained_encoder(enc, jax.device_get(state.params),
+                                   jax.device_get(state.batch_stats)))
+
+    # stats-less npz: loads params but warns about init BN statistics
+    np.savez(tmp_path / "bare.npz", **_flatten(want_p))
+    enc = dataclasses.replace(cfg.encoder,
+                              pretrained_path=str(tmp_path / "bare.npz"))
+    with pytest.warns(UserWarning, match="BatchNorm"):
+        params, stats = load_pretrained_encoder(
+            enc, jax.device_get(state.params),
+            jax.device_get(state.batch_stats))
+    got_p = params["p_ZlX"]["mapper"]
+    for (k, v), (_, g) in zip(jax.tree_util.tree_leaves_with_path(want_p),
+                              jax.tree_util.tree_leaves_with_path(got_p)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(v))
