@@ -70,14 +70,17 @@ class ClipCompressor:
         self.mesh = mesh
         self.raw_input_hw = tuple(raw_input_hw) if raw_input_hw else None
         self.model = model if model is not None else vit_b32(dtype=dtype)
-        if clip_params is None:
-            dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
-            clip_params = self.model.init(jax.random.key(seed), dummy)["params"]
+        self._dtype = dtype
+        self._seed = seed
         # store tower weights in the compute dtype: fp32 storage would make
         # every forward re-read 2x the bytes just to downcast (LayerNorm
-        # params are upcast back inside the fp32 LN islands)
-        self.clip_params = jax.tree.map(lambda p: jnp.asarray(p, dtype),
-                                        clip_params)
+        # params are upcast back inside the fp32 LN islands). Random init is
+        # LAZY (first encode use): decompress-only usage never pays the
+        # 88M-param tower construction.
+        self.clip_params = None
+        if clip_params is not None:
+            self.clip_params = jax.tree.map(lambda p: jnp.asarray(p, dtype),
+                                            clip_params)
         self.eb_params = {k: jnp.asarray(v) for k, v in eb_params.items()}
         self.scaling = jnp.asarray(scaling, jnp.float32)
         self.biasing = jnp.asarray(biasing, jnp.float32)
@@ -94,8 +97,9 @@ class ClipCompressor:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._data_sharding = NamedSharding(mesh, P("data"))
-            repl = NamedSharding(mesh, P())
-            self.clip_params = jax.device_put(self.clip_params, repl)
+            repl = self._repl = NamedSharding(mesh, P())
+            if self.clip_params is not None:
+                self.clip_params = jax.device_put(self.clip_params, repl)
             self.eb_params = jax.device_put(self.eb_params, repl)
             self.scaling = jax.device_put(self.scaling, repl)
             self.biasing = jax.device_put(self.biasing, repl)
@@ -113,6 +117,22 @@ class ClipCompressor:
             self._features_fn = jax.jit(self._features)
 
     # -- device programs ----------------------------------------------------
+
+    def _ensure_tower(self):
+        """Materialize the tower weights before the first encode trace.
+
+        The jitted encode/features programs capture `clip_params` at trace
+        time, so this must run before their first call; decode paths never
+        touch the tower and skip the cost entirely.
+        """
+        if self.clip_params is None:
+            dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+            p = self.model.init(jax.random.key(self._seed), dummy)["params"]
+            self.clip_params = jax.tree.map(
+                lambda q: jnp.asarray(q, self._dtype), p)
+            if self.mesh is not None:
+                self.clip_params = jax.device_put(self.clip_params,
+                                                  self._repl)
 
     def _maybe_preprocess(self, x):
         """Fused device preprocess for raw uint8 inputs (raw_input_hw).
@@ -163,12 +183,14 @@ class ClipCompressor:
     def __call__(self, x, is_compress: bool = False):
         if is_compress:
             return self.compress(x)
+        self._ensure_tower()
         xp, pad = self._pad_for_mesh(jnp.asarray(x))
         out = np.asarray(self._features_fn(xp))
         return out[:len(out) - pad] if pad else out
 
     def compress(self, x) -> list[bytes]:
         """Batch of normalized images -> per-image byte strings."""
+        self._ensure_tower()
         xp, pad = self._pad_for_mesh(jnp.asarray(x))
         symbols = np.asarray(self._encode_fn(xp))
         if pad:
@@ -196,6 +218,7 @@ class ClipCompressor:
         depth-1 pipeline leaves a dispatch bubble — measured ~10% of
         throughput on the bench hot path).
         """
+        self._ensure_tower()
         start = time.time()
         all_streams: list[bytes] = []
         labels = []
