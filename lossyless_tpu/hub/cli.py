@@ -103,6 +103,10 @@ def _build_compressor(args):
                                             dtype=jnp.dtype(args.dtype))
     if getattr(args, "device_preprocess", None):
         kwargs["raw_input_hw"] = tuple(args.device_preprocess)
+    if getattr(args, "mesh", 0):
+        from ..core.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(args.mesh)
     return load_pretrained(args.beta, clip_state_dict=clip_sd,
                            dtype=jnp.dtype(args.dtype), **kwargs)
 
@@ -191,6 +195,9 @@ def main(argv=None) -> int:
                     metavar=("H", "W"),
                     help="inputs are uniform raw uint8 HxW; fuse "
                          "resize+normalize into the device program")
+    pc.add_argument("--mesh", type=int, default=0,
+                    help="shard encode batches over N chips (0 = single "
+                         "device); streams are identical for any mesh size")
     _add_model_flags(pc)
     pc.set_defaults(fn=cmd_compress)
 

@@ -81,3 +81,25 @@ def test_cli_device_preprocess_matches_host_path(tmp_path):
     assert rc == 0
     assert len(list(read_dataset(tmp_path / "a.bin"))) == 4
     assert len(list(read_dataset(tmp_path / "b.bin"))) == 4
+
+
+def test_cli_mesh_streams_match_single_device(tmp_path):
+    """--mesh N from the shell: byte-identical streams to single-device
+    (ragged final batch included via the pad-and-trim path)."""
+    from lossyless_tpu.hub.cli import main
+    from lossyless_tpu.coding.bitstream import read_dataset
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (10, 64, 64, 3), dtype=np.uint8)
+    np.savez(tmp_path / "in.npz", x=x)
+
+    rc = main(["compress", str(tmp_path / "in.npz"), str(tmp_path / "s.bin"),
+               "--arch", "tiny", "--batch-size", "6"])
+    assert rc == 0
+    rc = main(["compress", str(tmp_path / "in.npz"), str(tmp_path / "m.bin"),
+               "--arch", "tiny", "--batch-size", "6", "--mesh", "4"])
+    assert rc == 0
+    single = list(read_dataset(tmp_path / "s.bin"))
+    meshed = list(read_dataset(tmp_path / "m.bin"))
+    assert len(single) == len(meshed) == 10
+    assert single == meshed
