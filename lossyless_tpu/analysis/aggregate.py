@@ -398,3 +398,57 @@ class ResultAggregator:
     def pareto(self, **kwargs):
         return plot_pareto_front(self.df, self.results_dir / "pareto.png",
                                  **kwargs)
+
+
+def main(argv=None) -> int:
+    """Shell entry: aggregate results like the reference's bash scripts do
+    (`python utils/aggregate.py` via hydra, bin/*/`*.sh` post-hoc calls).
+
+        python -m lossyless_tpu.analysis.aggregate results/exp_x \
+            --mode summarize rd_curves
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="lossyless_tpu.analysis.aggregate",
+        description="aggregate results_*.csv under a results directory")
+    parser.add_argument("results_dir")
+    parser.add_argument("--mode", nargs="+", default=["summarize"],
+                        choices=["summarize", "rd_curves", "summarize_rd",
+                                 "invariance", "pareto", "all"],
+                        help="which outputs to produce (csv/png written "
+                             "next to the results)")
+    args = parser.parse_args(argv)
+
+    agg = ResultAggregator(args.results_dir)
+    modes = set(args.mode)
+    if "all" in modes:
+        modes = {"summarize", "rd_curves", "summarize_rd", "invariance",
+                 "pareto"}
+    ran = []
+    for mode, fn in (("summarize", agg.summarize),
+                     ("rd_curves", agg.rd_curves),
+                     ("summarize_rd", agg.summarize_rd_curves),
+                     ("invariance", agg.invariance_rd_curve),
+                     ("pareto", agg.pareto)):
+        if mode in modes:
+            try:
+                out = fn()
+                ran.append(mode)
+                if hasattr(out, "to_string"):
+                    print(f"[{mode}]")
+                    print(out.to_string(index=False))
+                else:
+                    print(f"[{mode}] -> {out}")
+            except (KeyError, ValueError) as e:
+                # e.g. RD columns absent for a predictor-only experiment
+                print(f"[{mode}] skipped: {e}")
+    if not ran:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -97,3 +97,31 @@ def test_classical_webp_grayscale():
     x_hat, logs = comp.batch_run(np.repeat(x, 2, axis=0))
     assert x_hat.shape == (2, 32, 32, 1)
     assert logs["psnr"] > 25
+
+
+def test_aggregate_shell_entry(tmp_path, capsys):
+    """python -m lossyless_tpu.analysis.aggregate — the reference's bash
+    post-hoc aggregation call, as a module entry point."""
+    from lossyless_tpu.analysis.aggregate import main
+    from lossyless_tpu.train.metrics import write_results_csv
+
+    for seed in (1, 2):
+        for beta in ("1.0e-01", "3.0e-01"):
+            d = (tmp_path / "exp_demo" / "datafeat_banana" / "dist_VIC"
+                 / f"beta_{beta}" / f"seed_{seed}")
+            write_results_csv(d, "featurizer",
+                              {"test/feat/rate": 5.0 + seed + float(beta),
+                               "test/feat/distortion": 0.1 / float(beta),
+                               "test/feat/online_loss": 0.2})
+            write_results_csv(d, "communication",
+                              {"test/comm/n_bits": 64.0})
+            write_results_csv(d, "predictor",
+                              {"test/pred/err": 0.02 * seed})
+
+    rc = main([str(tmp_path), "--mode", "all"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[summarize]" in out
+    assert (tmp_path / "summarized_metrics_merged.csv").exists()
+    assert (tmp_path / "rd_curves.png").exists()
+    assert (tmp_path / "pareto.png").exists()
