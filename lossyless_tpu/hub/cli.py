@@ -154,6 +154,31 @@ def cmd_decompress(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """LinearSVC probe on decompressed features (reference README's
+    downstream STL10 evaluation: 98.65% acc in 0.5s train)."""
+    from ..analysis.linear_eval import z_linear_eval
+
+    def load(path):
+        d = np.load(path, allow_pickle=False)
+        if "z" not in d or "y" not in d:
+            raise SystemExit(f"{path}: need arrays z and y "
+                             f"(from `decompress --labels ...`)")
+        return d["z"], d["y"]
+
+    z_tr, y_tr = load(args.train)
+    z_te, y_te = load(args.test)
+    import time
+
+    t0 = time.time()
+    out = z_linear_eval(z_tr, y_tr, z_te, y_te, n_iter=args.n_iter,
+                        fixed_C=args.C)
+    print(f"Accuracy: {100 * out['acc']:.2f}% | "
+          f"Training time: {time.time() - t0:.1f} sec | "
+          f"C: {out['best_C']:.4g}")
+    return 0
+
+
 def cmd_info(args) -> int:
     from ..coding.bitstream import read_dataset
 
@@ -209,6 +234,15 @@ def main(argv=None) -> int:
     pd.add_argument("--batch-size", type=int, default=1024)
     _add_model_flags(pd)
     pd.set_defaults(fn=cmd_decompress)
+
+    pe = sub.add_parser("eval", help="LinearSVC probe on decoded features")
+    pe.add_argument("train", help=".npz with z, y (decompress --labels)")
+    pe.add_argument("test", help=".npz with z, y")
+    pe.add_argument("--n-iter", type=int, default=8,
+                    help="RandomizedSearchCV iterations over C/class_weight")
+    pe.add_argument("--C", type=float, default=None,
+                    help="skip the search, use this LinearSVC C")
+    pe.set_defaults(fn=cmd_eval)
 
     pi = sub.add_parser("info", help="stream stats (no accelerator)")
     pi.add_argument("input")

@@ -103,3 +103,24 @@ def test_cli_mesh_streams_match_single_device(tmp_path):
     meshed = list(read_dataset(tmp_path / "m.bin"))
     assert len(single) == len(meshed) == 10
     assert single == meshed
+
+
+def test_cli_eval_linear_probe(tmp_path, capsys):
+    """eval: LinearSVC on z/y npz pairs (the reference README's downstream
+    evaluation step, as a shell command)."""
+    from lossyless_tpu.hub.cli import main
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(3, 16)) * 4
+    for name, n in (("tr.npz", 120), ("te.npz", 60)):
+        y = rng.integers(0, 3, n)
+        z = centers[y] + rng.normal(size=(n, 16))
+        np.savez(tmp_path / name, z=z, y=y)
+
+    rc = main(["eval", str(tmp_path / "tr.npz"), str(tmp_path / "te.npz"),
+               "--C", "1.0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Accuracy:" in out
+    acc = float(out.split("Accuracy: ")[1].split("%")[0])
+    assert acc > 90.0  # well-separated gaussian blobs
