@@ -39,7 +39,11 @@ def write_bytes(fd, values: bytes):
 
 
 def read_uints(fd, n):
-    return struct.unpack(f">{n}I", fd.read(n * 4))
+    data = fd.read(n * 4)
+    if len(data) != n * 4:
+        raise ValueError(
+            f"truncated record header: wanted {n * 4} bytes, got {len(data)}")
+    return struct.unpack(f">{n}I", data)
 
 
 def read_bytes(fd, n) -> bytes:

@@ -128,25 +128,33 @@ inline void buffer_symbol(std::vector<BufferedSym>& syms, int32_t symbol,
                           const int32_t* cdf, int32_t cdf_length,
                           int32_t offset) {
   const int32_t max_value = cdf_length - 2;
-  int32_t value = symbol - offset;
+  // 64-bit domain: symbol - offset and the zigzag map below would signed-
+  // overflow (UB) for extreme int32 symbols (e.g. INT32_MIN latents from a
+  // diverged model); the Python mirror uses arbitrary-precision ints, so
+  // streams must stay identical across the full int32 symbol range
+  const int64_t value64 = static_cast<int64_t>(symbol) - offset;
+  int32_t value;
 
-  uint32_t raw_val = 0;
+  uint64_t raw_val = 0;
   bool escaped = false;
-  if (value < 0) {
-    raw_val = static_cast<uint32_t>(-2 * value - 1);
+  if (value64 < 0) {
+    raw_val = static_cast<uint64_t>(-2 * value64 - 1);
     value = max_value;
     escaped = true;
-  } else if (value >= max_value) {
-    raw_val = static_cast<uint32_t>(2 * (value - max_value));
+  } else if (value64 >= max_value) {
+    raw_val = static_cast<uint64_t>(2 * (value64 - max_value));
     value = max_value;
     escaped = true;
+  } else {
+    value = static_cast<int32_t>(value64);
   }
 
   syms.push_back({static_cast<uint16_t>(cdf[value]),
                   static_cast<uint16_t>(cdf[value + 1] - cdf[value]), false});
 
   if (escaped) {
-    // number of 4-bit chunks needed for raw_val
+    // number of 4-bit chunks needed for raw_val (raw_val < 2^34, so the
+    // max shift is well under the uint64 width — no shift UB)
     int32_t n_bypass = 0;
     while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
 
@@ -230,7 +238,7 @@ int64_t decode_one(const uint8_t* bytes, int64_t nbytes, const int32_t* indexes,
 
     dec.advance(&ptr, cdf[s], cdf[s + 1] - cdf[s]);
 
-    int32_t value = s;
+    int64_t value = s;
     if (value == max_value) {  // escape: read raw bits
       uint32_t val = dec.get_bits(&ptr, kBypassPrecision);
       uint32_t n_bypass = val;
@@ -238,19 +246,24 @@ int64_t decode_one(const uint8_t* bytes, int64_t nbytes, const int32_t* indexes,
         val = dec.get_bits(&ptr, kBypassPrecision);
         n_bypass += val;
       }
-      uint32_t raw_val = 0;
+      // 9 chunks cover the full int32 symbol domain (raw_val < 2^34); a
+      // larger count can only come from a corrupt/adversarial stream — it
+      // would also shift past the accumulator width, so reject it instead
+      // of looping through garbage
+      if (n_bypass > 16) return -1;
+      uint64_t raw_val = 0;
       for (uint32_t j = 0; j < n_bypass; ++j) {
         val = dec.get_bits(&ptr, kBypassPrecision);
-        raw_val |= val << (j * kBypassPrecision);
+        raw_val |= static_cast<uint64_t>(val) << (j * kBypassPrecision);
       }
-      value = static_cast<int32_t>(raw_val >> 1);
+      value = static_cast<int64_t>(raw_val >> 1);
       if (raw_val & 1) {
         value = -value - 1;
       } else {
         value += max_value;
       }
     }
-    out_symbols[i] = value + offsets[idx];
+    out_symbols[i] = static_cast<int32_t>(value + offsets[idx]);
     if (dec.overrun) return -1;  // truncated/corrupt stream
   }
   return n;

@@ -175,9 +175,13 @@ eb_likelihood_fused.defvjp(_fwd, _bwd)
 
 
 def likelihood(params: dict, z: jax.Array) -> jax.Array:
-    """Drop-in for `entropy_bottleneck.likelihood` using the fused kernel.
+    """Fused-kernel likelihood, floored at LIKELIHOOD_BOUND in-kernel.
 
-    z: (batch, channels) -> likelihood (batch, channels).
+    z: (batch, channels) -> likelihood (batch, channels). Rate math is
+    unchanged vs `entropy_bottleneck.likelihood` + `lower_bound` (which
+    every in-repo caller applies anyway), but raw values below the bound
+    (~1e-9) come back as the bound itself rather than the exact
+    probability — not a bit-exact drop-in at that boundary.
     """
     z_cb = jnp.transpose(z.astype(jnp.float32), (1, 0))
     lik = eb_likelihood_fused(params, z_cb)

@@ -36,9 +36,31 @@ MAX_BYPASS_VAL = (1 << BYPASS_PRECISION) - 1
 _RANS_L = 1 << 31
 
 
+def _host_stamp() -> str:
+    """Identify the build host's ISA so a cached -march=native .so is never
+    reused on a CPU lacking the build host's extensions (a mismatched .so
+    loads fine via ctypes but SIGKILLs the process with SIGILL on the first
+    call — no exception to catch)."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    ident += " " + line
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(ident.encode()).hexdigest()[:16]
+
+
 def _build_library() -> Path | None:
     src = _CSRC / "rans.cpp"
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+    stamp = _LIB_PATH.with_suffix(".stamp")
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime \
+            and stamp.exists() and stamp.read_text() == _host_stamp():
         return _LIB_PATH
     try:
         subprocess.run(
@@ -49,8 +71,9 @@ def _build_library() -> Path | None:
             check=True,
             capture_output=True,
         )
+        stamp.write_text(_host_stamp())
         return _LIB_PATH
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return None
 
 
@@ -138,7 +161,9 @@ def _py_buffer_symbols(symbols, indexes, cdfs, cdf_lengths, offsets):
     syms = []  # (start, range, bypass)
     for sym, idx in zip(symbols, indexes):
         cdf = cdfs[idx]
-        max_value = cdf_lengths[idx] - 2
+        # Python-int domain: mixing numpy int32 scalars into the zigzag
+        # arithmetic below overflows for extreme symbols
+        max_value = int(cdf_lengths[idx]) - 2
         value = int(sym) - int(offsets[idx])
         raw_val, escaped = 0, False
         if value < 0:
@@ -211,7 +236,7 @@ def _py_decode(data: bytes, indexes, cdfs, cdf_lengths, offsets) -> list[int]:
 
     for idx in indexes:
         cdf = cdfs[idx]
-        max_value = cdf_lengths[idx] - 2
+        max_value = int(cdf_lengths[idx]) - 2
         cum = state & ((1 << PRECISION) - 1)
         s = 0
         while s < cdf_lengths[idx] - 1 and cdf[s + 1] <= cum:
@@ -227,6 +252,8 @@ def _py_decode(data: bytes, indexes, cdfs, cdf_lengths, offsets) -> list[int]:
             while val == MAX_BYPASS_VAL:
                 val = get_bits(BYPASS_PRECISION)
                 n_bypass += val
+            if n_bypass > 16:  # 9 chunks cover the int32 domain (native too)
+                raise ValueError("corrupt or truncated rANS stream")
             raw_val = 0
             for j in range(n_bypass):
                 raw_val |= get_bits(BYPASS_PRECISION) << (j * BYPASS_PRECISION)
@@ -286,6 +313,11 @@ class RansCodec:
             raise ValueError("cdfs must be 2D (n_cdfs, max_len)")
         self.cdf_lengths = _as_i32(cdf_lengths)
         self.offsets = _as_i32(offsets)
+        if len(self.cdf_lengths) != len(self.cdfs) \
+                or len(self.offsets) != len(self.cdfs):
+            raise ValueError(
+                f"cdf_lengths ({len(self.cdf_lengths)}) and offsets "
+                f"({len(self.offsets)}) must match n_cdfs ({len(self.cdfs)})")
         self.n_threads = n_threads or min(16, os.cpu_count() or 1)
         self._use_native = bool(_get_lib())
         # Reused per-thread encode scratch: allocating the (generously sized)
@@ -314,6 +346,9 @@ class RansCodec:
 
     def encode_with_indexes(self, symbols, indexes) -> bytes:
         symbols, indexes = _as_i32(symbols).ravel(), _as_i32(indexes).ravel()
+        if len(symbols) != len(indexes):
+            raise ValueError(f"symbols ({len(symbols)}) and indexes "
+                             f"({len(indexes)}) must have the same length")
         self._check_indexes(indexes)
         if not self._use_native:
             return _py_encode(symbols, indexes, self.cdfs, self.cdf_lengths, self.offsets)
@@ -357,7 +392,12 @@ class RansCodec:
         symbols = _as_i32(symbols)
         indexes = _as_i32(indexes).ravel()
         self._check_indexes(indexes)
+        if symbols.ndim != 2:
+            raise ValueError(f"symbols must be (batch, m), got {symbols.shape}")
         batch, m = symbols.shape
+        if len(indexes) != m:
+            raise ValueError(f"indexes ({len(indexes)}) must match the "
+                             f"symbol row length ({m})")
         if batch == 0:
             return []
         if not self._use_native:
@@ -418,6 +458,9 @@ class RansCodec:
         """Per-message index rows: symbols (B, m), indexes (B, m)."""
         symbols, indexes = _as_i32(symbols), _as_i32(indexes)
         self._check_indexes(indexes)
+        if symbols.shape != indexes.shape or symbols.ndim != 2:
+            raise ValueError(f"symbols {symbols.shape} and indexes "
+                             f"{indexes.shape} must be equal (batch, m)")
         batch, m = symbols.shape
         if batch == 0:
             return []
@@ -449,6 +492,9 @@ class RansCodec:
         indexes = _as_i32(indexes)
         self._check_indexes(indexes)
         batch, m = indexes.shape
+        if len(streams) != batch:
+            raise ValueError(f"{len(streams)} streams but indexes has "
+                             f"{batch} rows")
         if batch == 0:
             return np.empty((0, m), dtype=np.int32)
         if not self._use_native:

@@ -181,14 +181,14 @@ class LearnableCompressor(nn.Module):
 
         if not c.rate.is_endToEnd:
             # rate trained without backprop into the encoder (rates.py:136-144)
-            z_det = jax.lax.stop_gradient(z) + z * 0
+            z_det = jax.lax.stop_gradient(z)
             _, rates, _ = self.rate_estimator(
                 z_det, detach(p_zlx), training=training, rng=rngs[1], step=step)
         elif c.rate.warmup_steps > 0:
             # warmup: detached-rate path for the first warmup_steps
             # (reference warmup_k_epoch); where() zeroes the unselected
             # branch's gradient
-            z_det = jax.lax.stop_gradient(z) + z * 0
+            z_det = jax.lax.stop_gradient(z)
             _, rates_det, _ = self.rate_estimator(
                 z_det, detach(p_zlx), training=training, rng=rngs[1],
                 step=step)

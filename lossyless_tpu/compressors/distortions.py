@@ -55,9 +55,16 @@ def prediction_loss(y_hat, y, is_classification=True,
     ({mean,sum,max,min,median,std} or None to keep the per-task axis).
     """
     if is_classification:
-        logp = jax.nn.log_softmax(y_hat, axis=-1)
         y = y.astype(jnp.int32)
-        per = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        if y_hat.ndim <= 2:
+            logp = jax.nn.log_softmax(y_hat, axis=-1)
+            per = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        else:
+            # multi-task: torch F.cross_entropy semantics — the CLASS axis
+            # is dim 1, trailing dims are tasks: y_hat (B, C, *tasks),
+            # y (B, *tasks) (reference helpers.py:459-461)
+            logp = jax.nn.log_softmax(y_hat, axis=1)
+            per = -jnp.take_along_axis(logp, y[:, None, ...], axis=1)[:, 0]
     else:
         per = (y_hat - y.astype(y_hat.dtype)) ** 2
     b = y_hat.shape[0]

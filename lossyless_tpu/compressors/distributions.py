@@ -110,8 +110,13 @@ def n_suff_params(family: str) -> int:
     return {"deterministic": 1, "diaggaussian": 2}[family]
 
 
-def detach(dist, is_grad_flow: bool = True):
-    """Stop gradients through all distribution parameters."""
+def detach(dist):
+    """Stop gradients through all distribution parameters.
+
+    The reference's `is_grad_flow=True` variant only adds `+ 0 * param`
+    to keep torch autograd graphs alive (rates.py:136-144) — a no-op under
+    JAX's trace-based autodiff, so there is no parameter here.
+    """
     return jax.tree.map(jax.lax.stop_gradient, dist)
 
 

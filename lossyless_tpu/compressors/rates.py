@@ -208,7 +208,8 @@ class HRateHyperprior(nn.Module):
         self.side_z_dim = side
         self.affine = _AffineZ(self.z_dim)
         self.entropy_bottleneck = EntropyBottleneckModule(
-            side, self.cfg.eb_filters, self.cfg.eb_init_scale)
+            side, self.cfg.eb_filters, self.cfg.eb_init_scale,
+            use_pallas=self.cfg.eb_use_pallas)
         from ..nn.mlp import MLP
         hid = max(self.z_dim, 256)
         self.side_encoder = MLP(out_dim=side, hid_dim=hid, n_hid_layers=2)

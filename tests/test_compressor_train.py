@@ -183,3 +183,30 @@ def test_not_end_to_end_rate_does_not_train_encoder():
         lambda a, b: a + jnp.abs(b).sum(), g["rate_estimator"], 0.0)
     assert float(enc_grad) == 0.0
     assert float(rate_grad) > 0.0
+
+
+def test_prediction_loss_matches_torch_semantics():
+    """Single- and multi-task CE pin against torch.F.cross_entropy: the
+    class axis is dim 1 for (B, C, *tasks) inputs (reference
+    helpers.py:459-461), trailing dims are tasks."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from lossyless_tpu.compressors.distortions import prediction_loss
+
+    r = np.random.default_rng(0)
+    B, C, T = 5, 4, 3
+    yh = r.normal(size=(B, C, T)).astype(np.float32)
+    y = r.integers(0, C, (B, T))
+    ref = F.cross_entropy(torch.tensor(yh), torch.tensor(y).long(),
+                          reduction="none").view(B, T, -1) \
+        .mean(dim=1).mean(dim=1).numpy()
+    got = np.asarray(prediction_loss(jnp.asarray(yh), jnp.asarray(y)))
+    np.testing.assert_allclose(got.ravel(), ref, rtol=1e-4, atol=1e-5)
+
+    yh1 = r.normal(size=(B, C)).astype(np.float32)
+    y1 = r.integers(0, C, (B,))
+    ref1 = F.cross_entropy(torch.tensor(yh1), torch.tensor(y1).long(),
+                           reduction="none").numpy()
+    got1 = np.asarray(prediction_loss(jnp.asarray(yh1), jnp.asarray(y1)))
+    np.testing.assert_allclose(got1, ref1, rtol=1e-4, atol=1e-5)

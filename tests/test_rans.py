@@ -138,3 +138,32 @@ def test_out_of_range_index_raises(codec):
     with pytest.raises(IndexError):
         codec.decode_batch([b"\x00" * 8], np.asarray([[-1]]) * 1
                            if False else np.asarray([99]))
+
+
+def test_extreme_symbol_escapes_roundtrip(codec):
+    """INT32-extreme symbols (diverged-model latents) round-trip through the
+    escape path, native and Python mirrors byte-identical — the zigzag map
+    runs in 64-bit so no signed overflow / oversized shifts."""
+    symbols = np.array([np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+                        -(1 << 28), (1 << 28), 0, -1], dtype=np.int32)
+    indexes = np.zeros(len(symbols), dtype=np.int32)
+    data = codec.encode_with_indexes(symbols, indexes)
+    py = _py_encode(symbols, indexes, codec.cdfs, codec.cdf_lengths,
+                    codec.offsets)
+    assert data == py
+    out = codec.decode_with_indexes(data, indexes)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_length_mismatch_raises(codec):
+    with pytest.raises(ValueError):
+        codec.encode_with_indexes([0, 1, 2], [0, 1])
+    with pytest.raises(ValueError):
+        codec.encode_batch(np.zeros((2, 5), np.int32),
+                           np.zeros(3, np.int32))
+    with pytest.raises(ValueError):
+        codec.encode_batch_varidx(np.zeros((2, 5), np.int32),
+                                  np.zeros((2, 4), np.int32))
+    with pytest.raises(ValueError):
+        codec.decode_batch_varidx([b"", b"", b""],
+                                  np.zeros((2, 4), np.int32))
