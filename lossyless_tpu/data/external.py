@@ -101,7 +101,7 @@ class StreamingImageFolder:
         for _ in range(n_epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)
             stop = n - batch_size + 1 if drop_last else n
-            for i in range(0, max(stop, 1), batch_size):
+            for i in range(0, stop, batch_size):
                 idx = order[i:i + batch_size]
                 x = _load_jpeg_batch([self.paths[j] for j in idx],
                                      (h, w)).astype(np.float32) / 255.0
@@ -146,7 +146,9 @@ class CocoClipDataset:
     @property
     def feat_dim(self) -> int:
         if self._feat_dim is None:
-            f = np.load(self.split_dir / "0th_features.npy")
+            img = self.paths[0]
+            f = np.load(img.with_name(
+                img.name.replace("th_img.jpeg", "th_features.npy")))
             self._feat_dim = int(f.shape[-1])
         return self._feat_dim
 
@@ -162,13 +164,18 @@ class CocoClipDataset:
         for _ in range(n_epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)
             stop = n - batch_size + 1 if drop_last else n
-            for i in range(0, max(stop, 1), batch_size):
+            for i in range(0, stop, batch_size):
                 idx = order[i:i + batch_size]
                 x = _load_jpeg_batch([self.paths[j] for j in idx],
                                      (h, w)).astype(np.float32) / 255.0
                 aux = np.empty((len(idx), self.feat_dim), np.float32)
                 for r, j in enumerate(idx):
-                    feats = np.load(self.split_dir / f"{j}th_features.npy")
+                    # derive the feature file from the IMAGE file's own
+                    # index: positional pairing silently mismatches when
+                    # on-disk indices are non-contiguous (partial ingest)
+                    img = self.paths[j]
+                    feats = np.load(img.with_name(
+                        img.name.replace("th_img.jpeg", "th_features.npy")))
                     aux[r] = feats[rng.integers(len(feats))]
                 y = np.full((len(idx),), -1, np.int64)
                 yield x, y, aux
@@ -232,7 +239,7 @@ class GalaxyZooDataset:
         for _ in range(n_epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)
             stop = n - batch_size + 1 if drop_last else n
-            for i in range(0, max(stop, 1), batch_size):
+            for i in range(0, stop, batch_size):
                 idx = order[i:i + batch_size]
                 if self.synthetic:
                     x = self._synth_x[idx]

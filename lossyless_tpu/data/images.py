@@ -222,6 +222,15 @@ class ImageDataset:
             self.data, self.targets = self._carve("train")
         else:
             self.data, self.targets = self._load_any(self.split)
+            if self.split == "train":
+                # full-train instance: register fraction 0 (if nothing is
+                # registered yet) so a LATER validation carve on the same
+                # data root errors instead of silently overlapping this
+                # instance's training data. The reverse order — a full-train
+                # view after a 0.1-carved pair — is legitimate
+                # (featurization over the whole train set) and not flagged.
+                reg_key = (self.name, str(self.data_dir))
+                ImageDataset._carve_fractions.setdefault(reg_key, 0.0)
         self._augment = jax.jit(make_augmenter(self.equivalence)) \
             if self.equivalence else None
         self._label_augment = None
@@ -276,7 +285,13 @@ class ImageDataset:
         """
         import zlib
 
-        frac = self.val_fraction or 0.1
+        frac = self.val_fraction
+        if frac <= 0:
+            raise ValueError(
+                f"{self.name}: a carved {which!r} split needs "
+                f"val_fraction > 0 (got {frac}) — with val_fraction=0 the "
+                f"whole train set is training data and no validation split "
+                f"exists")
         data, targets = self._load_any("train")
         # registered only after a successful load, keyed per data root:
         # independent experiments over different data_dirs don't conflict
@@ -308,11 +323,19 @@ class ImageDataset:
         x = jnp.asarray(x_uint8, jnp.float32) / 255.0
         return x
 
+    def _norm_stats(self):
+        """(mean, std) for is_normalize. Datasets without published
+        per-dataset statistics (the tfds sets probed through CLIP:
+        food101/cars196/pcam/pets37/caltech101) use CLIP's stats — the
+        reference routes them through base_resize="clip" into
+        Normalizer("clip") (utils/data/images.py:404-411)."""
+        name = self.name if self.name in MEANS else "clip"
+        return MEANS[name], STDS[name]
+
     def _postprocess(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.is_normalize:
-            mean = jnp.asarray(MEANS[self.name])
-            std = jnp.asarray(STDS[self.name])
-            x = (x - mean) / std
+            mean, std = self._norm_stats()
+            x = (x - jnp.asarray(mean)) / jnp.asarray(std)
         return x
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
@@ -351,7 +374,10 @@ class ImageDataset:
                     aux = raw                      # un-augmented base image
                 elif at == "equiv_x":
                     key, k2 = jax.random.split(key)
-                    aux = self._augment(k2, raw) if self._augment is not None \
+                    # eval applies identity transforms, like the reference's
+                    # get_curr_augmentations outside train (images.py:428-433)
+                    aux = self._augment(k2, raw) \
+                        if (self._augment is not None and self.is_augment) \
                         else raw
                     aux = self._postprocess(aux)   # same dist as x
                 elif at in ("target", None):
@@ -375,16 +401,24 @@ class ImageDataset:
         targets = jnp.asarray(self.targets)
         n = len(self)
         augment = make_augmenter(self.equivalence) if self.equivalence else None
+        label_aug = None
+        if self.label_equivalence is not None:
+            from .label_augment import EquivariantRandomResizedCrop
+            label_aug = EquivariantRandomResizedCrop(
+                num_classes=self.spec.n_classes, **self.label_equivalence)
         at = self.additional_target
-        mean = jnp.asarray(MEANS[self.name]) if self.is_normalize else None
-        std = jnp.asarray(STDS[self.name]) if self.is_normalize else None
+        mean = jnp.asarray(self._norm_stats()[0]) if self.is_normalize else None
+        std = jnp.asarray(self._norm_stats()[1]) if self.is_normalize else None
 
         def sample(key):
-            k_idx, k_aug, k_aux = jax.random.split(key, 3)
+            k_idx, k_aug, k_aux, k_lab = jax.random.split(key, 4)
             idx = jax.random.randint(k_idx, (batch_size,), 0, n)
             raw = data[idx].astype(jnp.float32) / 255.0
             y = targets[idx]
             x = augment(k_aug, raw) if (augment and self.is_augment) else raw
+            if label_aug is not None and self.is_augment:
+                # joint (image, label) augmentation, same as batches()
+                x, y = label_aug(k_lab, x, y)
             # same normalization contract as batches(): encoder-bound views
             # normalized, reconstruction targets raw
             if at == "input":
@@ -392,7 +426,8 @@ class ImageDataset:
             elif at == "representative":
                 aux = raw
             elif at == "equiv_x":
-                aux = augment(k_aux, raw) if augment else raw
+                aux = augment(k_aux, raw) if (augment and self.is_augment) \
+                    else raw
                 if mean is not None:
                     aux = (aux - mean) / std
             else:

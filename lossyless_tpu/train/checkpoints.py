@@ -45,28 +45,49 @@ class CheckpointManager:
 
     # -- save / restore ------------------------------------------------------
 
-    def save_last(self, state, step: int):
-        path = self.dir / "last"
-        if path.exists():
-            shutil.rmtree(path)
-        self._ckptr.save(path, state)
+    def _atomic_save(self, path: Path, state):
+        """Write to a sibling tmp dir, then atomically swap into place.
+
+        Deleting the old checkpoint before writing the new one would leave
+        NO checkpoint if the job is preempted mid-save — the exact window a
+        preemption-safe design must not have. rename() is atomic on one
+        filesystem, so `path` always holds a complete checkpoint.
+        """
+        tmp = path.with_name(path.name + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)  # leftover from an interrupted save
+        self._ckptr.save(tmp, state)
         self._ckptr.wait_until_finished()
+        old = path.with_name(path.name + ".old")
+        if old.exists():
+            shutil.rmtree(old)
+        if path.exists():
+            path.rename(old)
+        tmp.rename(path)
+        if old.exists():
+            shutil.rmtree(old)
+
+    def save_last(self, state, step: int):
+        self._atomic_save(self.dir / "last", state)
         meta = self._load_meta()
         meta["last_step"] = int(step)
         self._save_meta(meta)
 
     def maybe_save_best(self, state, step: int, value: float) -> bool:
-        """Keep exactly one best checkpoint (utils/helpers.py:312-320)."""
+        """Keep exactly one best checkpoint (utils/helpers.py:312-320).
+
+        A NaN monitor (diverged epoch) is never "best": NaN comparisons are
+        all False, so a first-epoch NaN would otherwise be saved and then
+        never superseded.
+        """
+        if value is None or np.isnan(value):
+            return False
         meta = self._load_meta()
         best = meta.get("best_value")
-        better = (best is None or
+        better = (best is None or np.isnan(best) or
                   (value < best if self.mode == "min" else value > best))
         if better:
-            path = self.dir / "best"
-            if path.exists():
-                shutil.rmtree(path)
-            self._ckptr.save(path, state)
-            self._ckptr.wait_until_finished()
+            self._atomic_save(self.dir / "best", state)
             meta["best_value"] = float(value)
             meta["best_step"] = int(step)
             self._save_meta(meta)
@@ -114,16 +135,21 @@ def save_weights(path: str | Path, params: Any, batch_stats: Any = None):
     and subtree exports stay loadable).
     """
     path = Path(path).absolute()
-    if path.exists():
-        shutil.rmtree(path)
     tree = jax.device_get(params)
     if batch_stats:
         tree = {"params": tree, "batch_stats": jax.device_get(batch_stats)}
+    # atomic tmp-then-rename (see CheckpointManager._atomic_save): a
+    # preemption mid-export must not destroy an existing good export.
+    # StandardCheckpointer commits asynchronously, so block until durable.
+    tmp = path.with_name(path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree)
-    # StandardCheckpointer commits asynchronously: block until the export
-    # is durable so callers (and preemption) can rely on it existing
+    ckptr.save(tmp, tree)
     ckptr.wait_until_finished()
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
 
 
 def load_weights(path: str | Path, target: Any):

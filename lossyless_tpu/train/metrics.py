@@ -72,25 +72,50 @@ def _is_float(s) -> bool:
 
 
 class CsvLogger:
-    """Step-series logger (the reference's CSVLogger alternative to wandb)."""
+    """Step-series logger (the reference's CSVLogger alternative to wandb).
+
+    Columns are NOT frozen at the first call: rows carrying new metric
+    keys (e.g. the first val row after train rows) extend the header by
+    rewriting the file once, and on a preemption resume the existing
+    file's header is adopted so appended values stay under the right
+    columns.
+    """
 
     def __init__(self, out_dir, name: str = "metrics"):
         self.path = Path(out_dir) / f"{name}.csv"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._keys: list[str] | None = None
+        if self.path.exists():  # resume: adopt the existing header
+            with self.path.open(newline="") as f:
+                header = next(csv.reader(f), None)
+            if header:
+                self._keys = header
 
     def log(self, step: int, logs: dict):
         row = {"step": step}
         row.update({k: float(v) for k, v in logs.items()
                     if isinstance(v, (int, float)) or _isscalar(v)})
-        new_file = self._keys is None and not self.path.exists()
         if self._keys is None:
             self._keys = list(row)
+            with self.path.open("w", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._keys).writeheader()
+        new_keys = [k for k in row if k not in self._keys]
+        if new_keys:
+            self._rewrite_with_keys(self._keys + new_keys)
         with self.path.open("a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._keys, extrasaction="ignore")
-            if new_file:
-                w.writeheader()
+            w = csv.DictWriter(f, fieldnames=self._keys,
+                               restval="", extrasaction="ignore")
             w.writerow(row)
+
+    def _rewrite_with_keys(self, keys: list[str]):
+        """Extend the header in place (prior rows get empty cells)."""
+        with self.path.open(newline="") as f:
+            rows = list(csv.DictReader(f))
+        self._keys = keys
+        with self.path.open("w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys, restval="")
+            w.writeheader()
+            w.writerows(rows)
 
 
 def _isscalar(v) -> bool:

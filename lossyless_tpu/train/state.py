@@ -62,12 +62,20 @@ def _make_schedule(cfg: OptimConfig):
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     lr = _make_schedule(cfg)
     if cfg.mode == "adam":
-        return optax.adam(lr)
-    if cfg.mode == "adamw":
+        opt = optax.adam(lr)
+    elif cfg.mode == "adamw":
         return optax.adamw(lr, weight_decay=cfg.weight_decay)
-    if cfg.mode == "sgd":
-        return optax.sgd(lr, momentum=0.9)
-    raise ValueError(f"unknown optimizer {cfg.mode}")
+    elif cfg.mode == "sgd":
+        opt = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.mode}")
+    if cfg.weight_decay:
+        # torch-style coupled L2: the reference forwards weight_decay to
+        # torch.optim.Adam/SGD (helpers.py:553-568), which adds wd*param to
+        # the gradient before the update — add_decayed_weights BEFORE the
+        # optimizer transform reproduces that (decoupled decay is adamw)
+        return optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+    return opt
 
 
 def _param_label(path) -> str:

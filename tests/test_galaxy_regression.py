@@ -39,3 +39,14 @@ def test_regression_predictor_and_kaggle_submission(tmp_path):
 
     with pytest.raises(ValueError):
         write_kaggle_submission(ids, preds[:, :10], tmp_path / "bad.csv")
+
+
+def test_drop_last_contract_small_dataset():
+    """n < batch_size with drop_last=True yields NO batches (fixed-shape
+    contract), not one short batch."""
+    from lossyless_tpu.data.external import GalaxyZooDataset
+
+    ds = GalaxyZooDataset(synthetic=True, synthetic_n=10)
+    assert list(ds.batches(64, drop_last=True)) == []
+    tail = list(ds.batches(64, drop_last=False))
+    assert len(tail) == 1 and len(tail[0][0]) == 10

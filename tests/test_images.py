@@ -249,3 +249,72 @@ def test_galaxy_explicit_synthetic_flag(tmp_path):
     assert ds.synthetic
     x, y, aux = next(ds.batches(8))
     assert x.shape[0] == 8 and np.isfinite(np.asarray(x)).all()
+
+
+def test_equiv_x_not_augmented_at_eval():
+    """Eval positives are identity views, like the reference's
+    get_curr_augmentations outside train (images.py:428-433)."""
+    from lossyless_tpu.data.images import ImageDataset
+
+    ds = ImageDataset(name="cifar10", synthetic=True, synthetic_n=64,
+                      additional_target="equiv_x", is_augment=False)
+    x, y, aux = next(ds.batches(32, seed=0, shuffle=False))
+    np.testing.assert_array_equal(np.asarray(aux), np.asarray(x))
+
+    # and the device sampler agrees
+    sample = ds.device_sampler(32)
+    x2, _, aux2 = sample(jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(aux2), np.asarray(x2))
+
+
+def test_device_sampler_applies_label_equivalence():
+    """The fused-epoch path must not silently drop joint (image, label)
+    augmentation configured via label_equivalence."""
+    from lossyless_tpu.data.images import ImageDataset
+
+    ds = ImageDataset(
+        name="cifar10", synthetic=True, synthetic_n=128,
+        equivalence=("hflip",),
+        label_equivalence=dict(invariant_scale=(0.99, 1.0),
+                               equivariant_scale=(0.2, 1.0), p=1.0))
+    sample = ds.device_sampler(64)
+    x, y, aux = sample(jax.random.key(0))
+    raw_y = np.asarray(ds.targets)
+    # labels drawn by index then mostly resampled by the equivariant crop
+    assert np.asarray(y).shape == (64,)
+    # compare against what index-only sampling would give: run with
+    # is_augment off (same key => same indices drawn)
+    ds.is_augment = False
+    y_plain = np.asarray(sample(jax.random.key(0))[1])
+    ds.is_augment = True
+    frac_changed = float((np.asarray(y) != y_plain).mean())
+    assert frac_changed > 0.5
+
+
+def test_normalize_fallback_clip_stats():
+    """Datasets without published stats normalize with CLIP's (the
+    reference's base_resize='clip' Normalizer route)."""
+    from lossyless_tpu.data.images import ImageDataset
+    from lossyless_tpu.data.norms import MEANS
+
+    assert "pets37" not in MEANS
+    ds = ImageDataset(name="pets37", synthetic=True, synthetic_n=32,
+                      is_normalize=True, is_augment=False)
+    x, _, _ = next(ds.batches(16, seed=0))
+    assert np.isfinite(np.asarray(x)).all()
+    # roughly standardized (synthetic pixels span [0,1])
+    assert abs(float(np.asarray(x).mean())) < 2.0
+
+
+def test_val_fraction_zero_contract():
+    """val_fraction=0 => no carved validation split exists; requesting one
+    raises instead of silently overlapping train."""
+    from lossyless_tpu.data.images import ImageDataset
+
+    ImageDataset._carve_fractions.clear()
+    ImageDataset(name="cifar10", synthetic=True, synthetic_n=64,
+                 val_fraction=0.0)  # full-train instance registers 0
+    with pytest.raises(ValueError):
+        ImageDataset(name="cifar10", synthetic=True, synthetic_n=64,
+                     split="validation", val_fraction=0.0)
+    ImageDataset._carve_fractions.clear()

@@ -97,3 +97,60 @@ def test_none_logger_writes_no_train_csv(tmp_path):
     # results CSVs (stage outputs) still written
     assert list(Path(tmp_path, "results_none").rglob(
         "results_featurizer.csv"))
+
+
+def test_csv_logger_extends_columns_and_resumes(tmp_path):
+    """New metric keys extend the header instead of being dropped; a
+    resumed logger adopts the existing header so columns stay aligned."""
+    import csv
+
+    from lossyless_tpu.train.metrics import CsvLogger
+
+    lg = CsvLogger(tmp_path, name="m")
+    lg.log(1, {"a": 1.0})
+    lg.log(2, {"a": 2.0, "b": 20.0})     # new key appears later
+    with (tmp_path / "m.csv").open(newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["a"] == "1.0" and rows[0]["b"] == ""
+    assert rows[1]["b"] == "20.0"
+
+    # "preemption": a fresh logger instance appends under the same header
+    # even when its first row has a different key order/subset
+    lg2 = CsvLogger(tmp_path, name="m")
+    lg2.log(3, {"b": 30.0})
+    with (tmp_path / "m.csv").open(newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert rows[2]["b"] == "30.0" and rows[2]["a"] == ""
+    assert rows[2]["step"] == "3"
+
+
+def test_checkpoint_nan_monitor_never_best(tmp_path):
+    from lossyless_tpu.train.checkpoints import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path / "ck", monitor="loss", mode="min")
+    state = {"w": np.ones(3)}
+    assert not ckpt.maybe_save_best(state, 1, float("nan"))
+    assert ckpt.best_value is None
+    assert ckpt.maybe_save_best(state, 2, 1.5)
+    assert ckpt.best_value == 1.5
+    # atomic path keeps a complete checkpoint through repeated saves
+    assert ckpt.maybe_save_best({"w": np.zeros(3)}, 3, 1.0)
+    got = ckpt.restore({"w": np.empty(3)}, "best")
+    np.testing.assert_array_equal(got["w"], np.zeros(3))
+
+
+def test_weight_decay_applies_to_adam():
+    """OptimConfig.weight_decay must not be a silent no-op for adam/sgd
+    (the reference forwards it to torch.optim, helpers.py:553-568)."""
+    import jax.numpy as jnp
+    import optax
+
+    from lossyless_tpu.train.state import OptimConfig, make_optimizer
+
+    params = {"w": jnp.ones(4)}
+    grads = {"w": jnp.zeros(4)}
+    for mode in ("adam", "sgd"):
+        tx = make_optimizer(OptimConfig(mode=mode, lr=0.1, weight_decay=0.5))
+        upd, _ = tx.update(grads, tx.init(params), params)
+        # zero gradient + decay => strictly negative update on positive w
+        assert float(jnp.max(optax.apply_updates(params, upd)["w"])) < 1.0
