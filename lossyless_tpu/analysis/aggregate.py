@@ -348,7 +348,10 @@ def plot_hypopt(result: dict, out_path):
 
     trials = result["trials"]
     values = [t["value"] for t in trials]
-    best = np.minimum.accumulate(values)
+    acc = (np.maximum.accumulate
+           if result.get("direction") == "maximize"
+           else np.minimum.accumulate)
+    best = acc(values)
     fig, ax = plt.subplots(figsize=(6, 4))
     ax.plot(range(len(values)), values, "o", alpha=0.6, label="trials")
     ax.plot(range(len(values)), best, "r-", label="best so far")

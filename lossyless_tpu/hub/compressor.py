@@ -242,7 +242,9 @@ class ClipCompressor:
             xp, pad = self._pad_for_mesh(jnp.asarray(x))
             dev = self._encode_fn(xp)               # async dispatch
             if label_file is not None and y is not None:
-                labels.append(np.asarray(y).astype(np.uint16))
+                # natural dtype: a uint16 cast would silently wrap ids
+                # >65535 / negatives and truncate float regression targets
+                labels.append(np.asarray(y))
             if inflight is not None:
                 _drain(inflight)
             inflight = (dev, pad)
@@ -285,7 +287,9 @@ class ClipCompressor:
         if is_info:
             print(f"Decoding: {1/dec_time:.2f} img/sec ")
         if label_file is not None:
-            y = np.load(label_file, allow_pickle=False).astype(np.int64)
+            y = np.load(label_file, allow_pickle=False)
+            if np.issubdtype(y.dtype, np.integer):
+                y = y.astype(np.int64)  # class labels; floats stay as-is
             return z_hat, y
         return z_hat
 

@@ -119,6 +119,14 @@ class BalleEncoder(nn.Module):
         h, w, _ = self.in_shape
         h2, w2 = _closest_pow2(h), _closest_pow2(w)
         end = (h2 // 2 ** self.n_layers) * (w2 // 2 ** self.n_layers)
+        if self.out_dim % end != 0:
+            raise ValueError(
+                f"BALLE out_dim={self.out_dim} must be divisible by the "
+                f"{end} spatial positions of the final feature map "
+                f"({h2 // 2 ** self.n_layers}x{w2 // 2 ** self.n_layers} "
+                f"for input {h}x{w} with n_layers={self.n_layers}); a "
+                f"floor-divided latent would silently be "
+                f"{(self.out_dim // end) * end}-dimensional")
         return self.out_dim // end
 
     @nn.compact

@@ -301,9 +301,16 @@ def convert_openai_clip_weights(torch_state_dict) -> dict:
     Accepts the state dict of the full CLIP model or of the visual tower.
     Returns a flax params dict for `VisionTransformer`.
     """
+    # A FULL CLIP state dict carries both towers; after stripping "visual."
+    # the text tower's transformer.resblocks.* would collide with (and
+    # overwrite) the visual ones, so when any visual.* key exists keep ONLY
+    # the visual subtree.
+    items = torch_state_dict.items()
+    if any(k.startswith("visual.") for k in torch_state_dict):
+        items = [(k[len("visual."):], v) for k, v in items
+                 if k.startswith("visual.")]
     sd = {}
-    for k, v in torch_state_dict.items():
-        k = k[len("visual."):] if k.startswith("visual.") else k
+    for k, v in items:
         sd[k] = np.asarray(v.float().cpu().numpy() if hasattr(v, "cpu") else v,
                            dtype=np.float32)
 

@@ -59,11 +59,17 @@ def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
     if run_fn is None:
         from .run import main as run_fn
 
+    # availability check only — a later ImportError INSIDE a trial must
+    # propagate, not silently restart the whole search with the built-in
+    # random searcher (discarding completed optuna trials)
     try:
+        import optuna  # noqa: F401
+        has_optuna = True
+    except ImportError:
+        has_optuna = False
+    if has_optuna:
         return _hypopt_optuna(base_cfg, space, monitor, n_trials, direction,
                               seed, run_fn, out_file, prune, rung_fraction)
-    except ImportError:
-        pass
 
     rng = np.random.default_rng(seed)
     worst = math.inf if direction == "minimize" else -math.inf
@@ -114,7 +120,8 @@ def hypopt(base_cfg, space: dict, monitor: str, n_trials: int = 10,
 
     best = (min if direction == "minimize" else max)(
         trials, key=lambda r: r["value"])
-    result = {"best": best, "trials": trials, "monitor": monitor}
+    result = {"best": best, "trials": trials, "monitor": monitor,
+              "direction": direction}
     if out_file:
         Path(out_file).parent.mkdir(parents=True, exist_ok=True)
         Path(out_file).write_text(json.dumps(result, indent=2, default=str))
@@ -177,6 +184,22 @@ def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
     pruner = optuna.pruners.MedianPruner() if prune else None
     study = optuna.create_study(direction=direction, pruner=pruner)
     study.optimize(objective, n_trials=n_trials)
-    return {"best": {"params": study.best_params,
-                     "value": study.best_value},
-            "monitor": monitor}
+    # same result contract as the built-in searcher (analysis.plot_hypopt
+    # consumes 'trials'; out_file persists per-trial records either way)
+    worst = math.inf if direction == "minimize" else -math.inf
+    trials = [{"trial": t.number,
+               "params": {k.replace("__", "."): v
+                          for k, v in t.params.items()},
+               "value": float(t.value) if t.value is not None
+               else float(worst),
+               "pruned": t.state.name == "PRUNED"}
+              for t in study.trials]
+    result = {"best": {"params": {k.replace("__", "."): v
+                                  for k, v in study.best_params.items()},
+                       "value": study.best_value},
+              "trials": trials, "monitor": monitor,
+              "direction": direction}
+    if out_file:
+        Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(out_file).write_text(json.dumps(result, indent=2, default=str))
+    return result

@@ -218,33 +218,48 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
               extra_logs: dict | None = None, mesh=None) -> dict:
     from ..train.state import eval_step
 
+    import itertools
+
     acc = MetricAccumulator()
     limit = cfg.trainer.limit_eval_batches
     n_dev = mesh.devices.size if mesh is not None else 1
     batch_size = _fit_bsz(batch_size, len(dataset), n_dev)
-    # all samples (ragged tail kept): test metrics cover the whole split
-    batches = [_maybe_shard(b, n_dev, mesh)
-               for b in _all_batches(dataset, batch_size, cfg.trainer.seed)]
-    n_keep = max(1, int(len(batches) * limit))
-    for i, b in enumerate(batches[:n_keep]):
+    # all samples (ragged tail kept): test metrics cover the whole split.
+    # Batches are STREAMED — materializing the whole split as device
+    # arrays would hold GBs in HBM for large test sets.
+    n_total = max(1, math.ceil(len(dataset) / batch_size))
+    n_keep = max(1, int(n_total * limit))
+    sizes: set[int] = set()
+    for i, b in enumerate(itertools.islice(
+            _all_batches(dataset, batch_size, cfg.trainer.seed), n_keep)):
+        b = _maybe_shard(b, n_dev, mesh)
         _, logs = eval_step(state, b, jax.random.key(1000 + i))
         acc.update(logs, weight=len(b[0]))
+        sizes.add(len(b[0]))
     metrics = acc.means()
 
     # encoder_time: wall seconds per image for the encoder forward, the
     # reference's first-class test metric (learnable_compressors.py:182-195)
     enc_fn = _jit_method(model, "encode")
     variables = _model_variables(state)
-    kept = batches[:n_keep]
-    # compile untimed for EVERY distinct batch shape (the ragged tail batch
-    # has its own shape; compiling it mid-timing would inflate the metric)
-    for n in {len(b[0]) for b in kept}:
-        sample = next(b for b in kept if len(b[0]) == n)
-        jax.block_until_ready(enc_fn(variables, sample[0]))
-    t0 = time.time()
-    for b in kept:
-        jax.block_until_ready(enc_fn(variables, b[0]))
-    metrics["encoder_time"] = (time.time() - t0) / sum(len(b[0]) for b in kept)
+    # compile untimed for EVERY distinct batch size seen (the ragged tail
+    # has its own shape); synthetic zeros avoid re-reading the data
+    in_shape = tuple(cfg.in_shape) if isinstance(cfg.in_shape, (tuple, list)) \
+        else (cfg.in_shape,)
+    for nsz in sizes:
+        warm = _maybe_shard(jnp.zeros((nsz, *in_shape), jnp.float32),
+                            n_dev, mesh)
+        jax.block_until_ready(enc_fn(variables, warm))
+    t_enc, n_timed = 0.0, 0
+    for b in itertools.islice(
+            _all_batches(dataset, batch_size, cfg.trainer.seed), n_keep):
+        x = _maybe_shard(jnp.asarray(b[0]), n_dev, mesh)
+        jax.block_until_ready(x)  # host->device transfer outside the timing
+        t0 = time.time()
+        jax.block_until_ready(enc_fn(variables, x))
+        t_enc += time.time() - t0
+        n_timed += len(x)
+    metrics["encoder_time"] = t_enc / max(1, n_timed)
 
     if extra_logs:
         metrics.update(extra_logs)
@@ -359,11 +374,16 @@ def run_featurizer(cfg: ExperimentConfig):
                 if i >= steps_per_epoch:
                     break
                 batch = _maybe_shard(batch, n_dev, mesh)
+                # host-side step counter: int(state.step) would block on
+                # the PREVIOUS step's device output every iteration,
+                # serializing dispatch (checkpoints are epoch-aligned, so
+                # the two counters agree)
+                step_host = epoch * steps_per_epoch + i
                 state, logs = train_step(
-                    state, batch, jax.random.key(int(state.step)))
+                    state, batch, jax.random.key(step_host))
                 if cfg.trainer.log_every and \
-                        int(state.step) % cfg.trainer.log_every == 0:
-                    logger.log(int(state.step),
+                        (step_host + 1) % cfg.trainer.log_every == 0:
+                    logger.log(step_host + 1,
                                namespaced(logs, "train", "feat"))
 
         # epoch-end validation + checkpointing
@@ -380,7 +400,11 @@ def run_featurizer(cfg: ExperimentConfig):
         host_state = jax.device_get(state)
         if (epoch + 1) % cfg.trainer.ckpt_every_epochs == 0:
             ckpt.save_last(host_state, int(state.step))
-        monitor_val = val.get(cfg.trainer.monitor, val.get("loss", 0.0))
+        # a diverged epoch's metrics are dropped by the accumulator, so a
+        # missing monitor means NaN — never 0.0, which would win "best"
+        # forever under mode=min and pin the export to diverged weights
+        monitor_val = val.get(cfg.trainer.monitor,
+                              val.get("loss", float("nan")))
         ckpt.maybe_save_best(host_state, int(state.step), monitor_val)
 
     # restore best weights, export weights-only (main.py:516-528)
@@ -533,6 +557,17 @@ def _predictor_datasets(cfg: ExperimentConfig, train_ds, val_ds):
     import copy as _copy
 
     if cfg.data_pred is None:
+        if not cfg.predictor.is_on_the_fly and cfg.data_feat.name != "banana":
+            # pre-featurization freezes ONE view per sample: use the
+            # deterministic eval view rather than a random augmented one,
+            # matching the data_pred branch below (otherwise 'data_pred
+            # unset' and 'data_pred = same dataset' featurize differently)
+            kwargs = dict(cfg.data_feat.kwargs)
+            kwargs.setdefault("is_augment", False)
+            scratch = _copy.copy(cfg)
+            pred_train = instantiate_datamodule(
+                scratch, dataclasses.replace(cfg.data_feat, kwargs=kwargs))
+            return pred_train, val_ds, cfg.target_shape
         return train_ds, val_ds, cfg.target_shape
 
     # shapes go into a scratch copy: the featurizer's recorded shapes must

@@ -184,8 +184,12 @@ def test_hypopt_optuna_prune_wiring(monkeypatch, tmp_path):
             self._beta = beta
             self._prune_me = prune_me
             self.reported = []
+            self.params = {}
+            self.value = None
+            self.state = types.SimpleNamespace(name="RUNNING")
 
         def suggest_float(self, name, lo, hi, log=False):
+            self.params[name] = self._beta
             return self._beta
 
         def report(self, value, step):
@@ -207,7 +211,10 @@ def test_hypopt_optuna_prune_wiring(monkeypatch, tmp_path):
                 try:
                     v = objective(t)
                 except TrialPruned:
+                    t.state.name = "PRUNED"
                     continue
+                t.value = v
+                t.state.name = "COMPLETE"
                 if self.best_value is None or v < self.best_value:
                     self.best_value = v
                     self.best_params = {"loss__beta": t._beta}
@@ -237,3 +244,9 @@ def test_hypopt_optuna_prune_wiring(monkeypatch, tmp_path):
     assert len(rungs) == 4 and all(c[1] == 25 for c in rungs)
     assert len(fulls) == 2                      # trials 0 and 2 survive
     assert res["best"]["value"] is not None
+    # result contract matches the built-in searcher (plot_hypopt consumes
+    # 'trials'; pruned trials are flagged; dotted param names restored)
+    assert len(res["trials"]) == 4
+    assert [t["pruned"] for t in res["trials"]] == [False, True, False, True]
+    assert "loss.beta" in res["best"]["params"]
+    assert res["direction"] == "minimize"

@@ -176,3 +176,50 @@ def test_ln_dtype_knob_matches_fp32():
         mbf.init(jax.random.key(0), x))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=0.06, atol=0.06)
+
+
+def test_converter_full_clip_state_dict_ignores_text_tower():
+    """A FULL CLIP state dict (visual.* + text transformer.*) must convert
+    the visual tower only — stripping 'visual.' naively would let the text
+    tower's transformer.resblocks.* overwrite the visual blocks."""
+    rng = np.random.default_rng(0)
+
+    def r(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    W, LAYERS, PATCH, OUT, TW = 64, 2, 8, 32, 48
+    n_tok = (32 // PATCH) ** 2 + 1
+    vis = {
+        "conv1.weight": r(W, 3, PATCH, PATCH),
+        "class_embedding": r(W),
+        "positional_embedding": r(n_tok, W),
+        "ln_pre.weight": r(W), "ln_pre.bias": r(W),
+        "ln_post.weight": r(W), "ln_post.bias": r(W),
+        "proj": r(W, OUT),
+    }
+    for i in range(LAYERS):
+        p = f"transformer.resblocks.{i}"
+        for nm, shape in (("ln_1.weight", (W,)), ("ln_1.bias", (W,)),
+                          ("ln_2.weight", (W,)), ("ln_2.bias", (W,)),
+                          ("attn.in_proj_weight", (3 * W, W)),
+                          ("attn.in_proj_bias", (3 * W,)),
+                          ("attn.out_proj.weight", (W, W)),
+                          ("attn.out_proj.bias", (W,)),
+                          ("mlp.c_fc.weight", (4 * W, W)),
+                          ("mlp.c_fc.bias", (4 * W,)),
+                          ("mlp.c_proj.weight", (W, 4 * W)),
+                          ("mlp.c_proj.bias", (W,))):
+            vis[f"{p}.{nm}"] = r(*shape)
+
+    full = {f"visual.{k}": v for k, v in vis.items()}
+    # text tower blocks at a DIFFERENT width — would corrupt shapes if kept
+    for i in range(LAYERS):
+        full[f"transformer.resblocks.{i}.ln_1.weight"] = r(TW)
+        full[f"transformer.resblocks.{i}.attn.in_proj_weight"] = r(3 * TW, TW)
+    full["text_projection"] = r(TW, OUT)
+
+    want = convert_openai_clip_weights(vis)
+    got = convert_openai_clip_weights(full)
+    for (k, v), (_, g) in zip(jax.tree_util.tree_leaves_with_path(want),
+                              jax.tree_util.tree_leaves_with_path(got)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(v))
