@@ -65,7 +65,10 @@ def main(mode="VIC", n_epochs=100, batch_size=1024, steps_per_epoch=1000):
     print(f"FINAL {mode}: rate={m['rate']:.3f} bits "
           f"distortion={m['distortion']:.4f} "
           f"online_loss={m.get('online_loss', float('nan')):.4f}")
-    print(f"reference: rate=4.83 distortion={'0.051' if mode=='VIC' else '0.109'}")
+    # reference results/exp_banana_viz_VIC/summarized_metrics_merged.csv:
+    # VIC test/feat/rate 2.302 @ distortion 0.0513; VAE 4.830 @ 0.1089
+    ref_rate, ref_dist = (2.30, "0.051") if mode == "VIC" else (4.83, "0.109")
+    print(f"reference: rate={ref_rate} distortion={ref_dist}")
 
     # artifacts: weights + the paper's codebook / maxinv figures
     out = Path(f"/tmp/banana_{mode.lower()}_artifacts")

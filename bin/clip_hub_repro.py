@@ -60,8 +60,11 @@ def train_one(features, targets, beta, n_epochs=15, steps=200, batch=512):
         jax.random.key(0), main=OptimConfig(lr=1e-3),
         coder=OptimConfig(lr=1e-3))
     epoch_fn = make_generative_epoch(sample_fn, steps)
+    logs = None
     for e in range(n_epochs):
         state, logs = epoch_fn(state, jax.random.key(e + 1))
+    if logs is None:  # --epochs 0: export/round-trip smoke without training
+        return state, float("nan"), float("nan")
     return state, float(logs["rate"][-1]), float(logs["distortion"][-1])
 
 

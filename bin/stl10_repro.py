@@ -76,13 +76,17 @@ def main(n_epochs=10, steps_per_epoch=100, batch_size=128):
 
     acc = MetricAccumulator()
     bs = min(512, len(test_ds))
-    for i, b in enumerate(test_ds.batches(bs, n_epochs=1, seed=0)):
+    n_eval = 0
+    for i, b in enumerate(test_ds.batches(bs, n_epochs=1, seed=0,
+                                          shuffle=False)):
         _, elogs = eval_step(state, b, None)
         acc.update(elogs, weight=len(b[0]))
+        n_eval += len(b[0])
         if i >= 3:
-            break
+            break  # quick-smoke subset; label says so below
     m = acc.means()
-    print(f"TEST: rate={m['rate']:.1f} bits online_acc="
+    print(f"TEST (first {n_eval} of {len(test_ds)} images): "
+          f"rate={m['rate']:.1f} bits online_acc="
           f"{m.get('online_acc', float('nan')):.4f}", flush=True)
     return state, m
 

@@ -88,7 +88,11 @@ def main(argv=None):
         ds = _test_dataset(cfg, cfg.data_feat)
         comp = ClassicalCompressor(mode=args.classical)
         bs = min(cfg.data_feat.val_batch_size, len(ds))
-        metrics = comp.evaluate(ds.batches(bs, n_epochs=1), stage="feat")
+        # whole split, deterministic order (ragged tail kept) — the learned
+        # runs' _evaluate covers the full split, so the baseline must too
+        from .pipeline.run import _all_batches
+        metrics = comp.evaluate(_all_batches(ds, bs, cfg.trainer.seed),
+                                stage="feat")
         cfg.experiment = f"{cfg.experiment}_classical_{args.classical}"
         write_results_csv(cfg.stage_dir, "featurizer", metrics)
     else:
