@@ -28,11 +28,19 @@ for preset in banana_viz_VIC banana_viz_VAE; do
 done
 
 echo "=== aggregating ==="
+python -m lossyless_tpu.analysis.aggregate "$OUT/results" --mode summarize
+
+echo "=== deployment CLI round trip (tiny tower) ==="
 python - <<PY
-from lossyless_tpu.analysis.aggregate import ResultAggregator
-agg = ResultAggregator("$OUT/results")
-print(agg.summarize().to_string())
+import numpy as np
+np.savez("$OUT/imgs.npz", x=np.random.default_rng(0).integers(
+    0, 256, (6, 64, 64, 3), dtype=np.uint8), y=np.arange(6))
 PY
+python -m lossyless_tpu.hub.cli compress "$OUT/imgs.npz" "$OUT/ds.bin" \
+    --labels "$OUT/y.npy" --arch tiny --batch-size 3
+python -m lossyless_tpu.hub.cli info "$OUT/ds.bin"
+python -m lossyless_tpu.hub.cli decompress "$OUT/ds.bin" "$OUT/z.npz" \
+    --labels "$OUT/y.npy" --arch tiny
 
 echo "=== unit tests (fast subset; run 'pytest tests/' for everything) ==="
 python -m pytest tests/ -q -x -m "not slow"
