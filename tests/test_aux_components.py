@@ -26,8 +26,16 @@ def test_save_hub_roundtrip(tmp_path):
     for k in ebp:
         np.testing.assert_allclose(eb2[k], np.asarray(ebp[k]), atol=1e-7)
 
-    # the .pt export loads through the reference-checkpoint loader
-    if (out / "factorized_rate.pt").exists():
+    # the .pt export loads through the reference-checkpoint loader; with
+    # torch importable the export MUST exist (a silent skip here would let
+    # a save_hub regression drop the .pt without any test noticing)
+    try:
+        import torch  # noqa: F401
+        has_torch = True
+    except ImportError:
+        has_torch = False
+    if has_torch:
+        assert (out / "factorized_rate.pt").exists()
         from lossyless_tpu.hub.load_reference import load_factorized_rate
         eb3, s3, b3 = load_factorized_rate(out / "factorized_rate.pt")
         for k in ebp:

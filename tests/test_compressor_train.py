@@ -57,8 +57,10 @@ def test_train_step_runs_and_improves(rate_mode):
         state, logs = train_step(state, b, jax.random.key(i))
         losses.append(float(logs["loss"]))
     assert np.all(np.isfinite(losses))
-    # loss should drop over training (generous margin: short run, noisy)
-    assert np.mean(losses[-20:]) < np.mean(losses[:10]) * 1.02
+    # loss should drop over training; ADDITIVE slack (the NLL distortion
+    # can be negative, where a multiplicative margin would flip direction)
+    first = np.mean(losses[:10])
+    assert np.mean(losses[-20:]) < first + 0.02 * abs(first)
 
 
 def test_param_groups_partition():

@@ -16,7 +16,13 @@ WORKER = Path(__file__).parent / "dist_worker.py"
 
 @pytest.mark.slow
 def test_two_process_train_step():
-    port = 23987
+    # ephemeral port: a hard-coded one collides with concurrent suite runs
+    # or a leftover worker from a previously timed-out run
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [
@@ -32,6 +38,9 @@ def test_two_process_train_step():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
 
-    losses = [re.search(r"DIST_OK process=\d loss=([\d.]+)", o).group(1)
-              for o in outs]
+    losses = []
+    for i, o in enumerate(outs):
+        m = re.search(r"DIST_OK process=\d loss=(-?[\d.]+)", o)
+        assert m, f"no DIST_OK line in proc {i} output:\n{o[-3000:]}"
+        losses.append(m.group(1))
     assert losses[0] == losses[1]  # same global loss on both hosts

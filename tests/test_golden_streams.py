@@ -111,6 +111,7 @@ def test_golden_hyperprior_streams():
                             jax.device_get(bs) if bs else None)
 
     streams = coder.compress(f["z"])
+    assert len(streams) == len(golden_streams)  # zip must not truncate
     for grp, ggrp in zip(streams, golden_streams):
         assert [bytes(s) for s in grp] == [bytes(s) for s in ggrp]
     z_hat = coder.decompress(golden_streams)
@@ -136,6 +137,7 @@ def test_golden_spatial_streams():
                                    jax.device_get(variables["params"]),
                                    jax.device_get(bs) if bs else None)
     streams = coder.compress(f["z"])
+    assert len(streams) == len(golden_streams)  # zip must not truncate
     for grp, ggrp in zip(streams, golden_streams):
         assert [bytes(s) for s in grp] == [bytes(s) for s in ggrp]
     z_hat = coder.decompress(golden_streams, batch_size=len(f["z"]))

@@ -81,6 +81,20 @@ def test_cli_device_preprocess_matches_host_path(tmp_path):
     assert rc == 0
     assert len(list(read_dataset(tmp_path / "a.bin"))) == 4
     assert len(list(read_dataset(tmp_path / "b.bin"))) == 4
+    # actually compare the decoded features: the device (jax cubic) and
+    # host (PIL bicubic) resizes drift at uint8-rounding scale, so the
+    # quantized latents must agree on nearly all dims
+    rc = main(["decompress", str(tmp_path / "a.bin"),
+               str(tmp_path / "za.npz"), "--arch", "tiny"])
+    assert rc == 0
+    rc = main(["decompress", str(tmp_path / "b.bin"),
+               str(tmp_path / "zb.npz"), "--arch", "tiny"])
+    assert rc == 0
+    za = np.load(tmp_path / "za.npz")["z"]
+    zb = np.load(tmp_path / "zb.npz")["z"]
+    assert za.shape == zb.shape == (4, 512)
+    frac_same = float((za == zb).mean())
+    assert frac_same > 0.9, f"only {frac_same:.2%} of latent dims agree"
 
 
 def test_cli_mesh_streams_match_single_device(tmp_path):

@@ -224,12 +224,16 @@ def test_carve_fraction_conflict_raises():
             ImageDataset._carve_fractions.pop(k)
 
     _clear()
-    kw = dict(synthetic=True, synthetic_n=64)
-    ImageDataset(name="cifar100", split="train", val_fraction=0.1, **kw)
-    ImageDataset(name="cifar100", split="validation", val_fraction=0.1, **kw)
-    with pytest.raises(ValueError, match="val_fraction"):
-        ImageDataset(name="cifar100", split="train", val_fraction=0.25, **kw)
-    _clear()
+    try:
+        kw = dict(synthetic=True, synthetic_n=64)
+        ImageDataset(name="cifar100", split="train", val_fraction=0.1, **kw)
+        ImageDataset(name="cifar100", split="validation", val_fraction=0.1,
+                     **kw)
+        with pytest.raises(ValueError, match="val_fraction"):
+            ImageDataset(name="cifar100", split="train", val_fraction=0.25,
+                         **kw)
+    finally:  # a failing assert must not poison the process-global guard
+        _clear()
 
 
 def test_galaxy_explicit_synthetic_flag(tmp_path):
@@ -311,10 +315,16 @@ def test_val_fraction_zero_contract():
     raises instead of silently overlapping train."""
     from lossyless_tpu.data.images import ImageDataset
 
+    # save/restore rather than clear(): other datasets' guard entries
+    # must survive this test, and a failing assert must not poison them
+    saved = dict(ImageDataset._carve_fractions)
     ImageDataset._carve_fractions.clear()
-    ImageDataset(name="cifar10", synthetic=True, synthetic_n=64,
-                 val_fraction=0.0)  # full-train instance registers 0
-    with pytest.raises(ValueError):
+    try:
         ImageDataset(name="cifar10", synthetic=True, synthetic_n=64,
-                     split="validation", val_fraction=0.0)
-    ImageDataset._carve_fractions.clear()
+                     val_fraction=0.0)  # full-train instance registers 0
+        with pytest.raises(ValueError):
+            ImageDataset(name="cifar10", synthetic=True, synthetic_n=64,
+                         split="validation", val_fraction=0.0)
+    finally:
+        ImageDataset._carve_fractions.clear()
+        ImageDataset._carve_fractions.update(saved)

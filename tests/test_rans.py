@@ -35,7 +35,9 @@ def test_roundtrip_in_range(codec):
     rng = np.random.default_rng(1)
     n = 1000
     indexes = rng.integers(0, 4, n)
-    symbols = rng.integers(-8, 7, n)  # in-support given offset -8
+    # in-support given offset -8: -8..7 INCLUSIVE (numpy high is exclusive;
+    # 7 is the top boundary value just below the escape bin)
+    symbols = rng.integers(-8, 8, n)
     data = codec.encode_with_indexes(symbols, indexes)
     out = codec.decode_with_indexes(data, indexes)
     np.testing.assert_array_equal(out, symbols)
@@ -115,7 +117,7 @@ def test_truncated_stream_raises(codec):
     """Corrupt/truncated streams must raise, not return garbage."""
     rng = np.random.default_rng(7)
     indexes = rng.integers(0, 4, 200)
-    symbols = rng.integers(-8, 7, 200)
+    symbols = rng.integers(-8, 8, 200)
     data = codec.encode_with_indexes(symbols, indexes)
     with pytest.raises(ValueError):
         codec.decode_with_indexes(data[:4], indexes)
@@ -136,8 +138,9 @@ def test_out_of_range_index_raises(codec):
     with pytest.raises(IndexError):
         codec.encode_with_indexes([0, 1], [0, 99])
     with pytest.raises(IndexError):
-        codec.decode_batch([b"\x00" * 8], np.asarray([[-1]]) * 1
-                           if False else np.asarray([99]))
+        codec.decode_batch([b"\x00" * 8], np.asarray([99]))
+    with pytest.raises(IndexError):  # negative index would read OOB in C++
+        codec.decode_batch([b"\x00" * 8], np.asarray([-1]))
 
 
 def test_extreme_symbol_escapes_roundtrip(codec):

@@ -1,5 +1,7 @@
 """Preemption-safe mid-stage resume (SURVEY.md §5.3)."""
 
+from pathlib import Path
+
 import jax
 import numpy as np
 import pytest
@@ -36,6 +38,17 @@ def test_featurizer_resumes_from_last_checkpoint(tmp_path):
     _, state2, *_ = run_featurizer(cfg2)
     # resumed: exactly 2 more epochs of steps, not 3 fresh ones
     assert int(state2.step) == 3 * step_after_1
+    # DISCRIMINATING check (a from-scratch 3-epoch run would also end at
+    # 3*step_after_1): the resumed run executed only 2 epochs, so the
+    # shared metrics CSV holds 1 (run 1) + 2 (run 2) validation rows —
+    # a restart-from-scratch would leave 1 + 3
+    import csv
+
+    with (Path(cfg2.stage_dir) / "train_featurizer.csv").open() as f:
+        rows = list(csv.DictReader(f))
+    val_rows = [r for r in rows if r.get("val/feat/loss")]
+    assert len(val_rows) == 3, \
+        f"expected 1+2 validation rows (resume), got {len(val_rows)}"
 
 
 def test_label_equivalence_in_image_pipeline():
