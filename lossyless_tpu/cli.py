@@ -17,10 +17,15 @@ import sys
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("preset", help="experiment preset name "
-                        "(banana_viz_VIC, banana_viz_VAE, mnist_vic, "
-                        "stl10_bince, clip_lossyZ) or 'default'")
+    from .pipeline.config import available_presets
+
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="presets: " + ", ".join(available_presets()))
+    parser.add_argument("preset",
+                        help="experiment preset name (see list below) or "
+                             "'default'")
     parser.add_argument("overrides", nargs="*",
                         help="dotted overrides key=value")
     parser.add_argument("--dev", action="store_true",
