@@ -8,7 +8,8 @@ batch size) against the ~23 ms pure-matmul bound at batch 512
 
 Usage: python bin/device_step_bench.py [--variants v1,v2,...]
 Variants: b512 (default config), b1024, b256, einsum (XLA attention),
-mlp_pallas (fused MLP half-block).
+mlp_pallas (fused MLP half-block), ln_bf16, cls_last (class-token-only
+final block), attn_g8/attn_g32 (attention kernel block-size sweep).
 """
 
 from __future__ import annotations
@@ -27,10 +28,16 @@ import jax.numpy as jnp
 
 def run_variant(name: str, batch: int, attn_impl: str = "auto",
                 mlp_impl: str = "xla", ln_dtype: str = "float32",
+                cls_only_last: bool = False, attn_block: int | None = None,
                 reps: int = 12) -> dict:
     from lossyless_tpu.coding import entropy_bottleneck as eb
     from lossyless_tpu.hub.load_reference import load_factorized_rate
     from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, VisionTransformer
+
+    if attn_block is not None:
+        from lossyless_tpu.nn import flash_attn
+
+        flash_attn.BLOCK_LIMIT = attn_block
 
     eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
     eb_params = {k: jnp.asarray(v) for k, v in eb_params_np.items()}
@@ -38,7 +45,8 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     biasing = jnp.asarray(biasing_np)
 
     model = VisionTransformer(attn_impl=attn_impl, mlp_impl=mlp_impl,
-                              ln_dtype=jnp.dtype(ln_dtype))
+                              ln_dtype=jnp.dtype(ln_dtype),
+                              cls_only_last=cls_only_last)
     params = model.init(jax.random.key(0),
                         jnp.zeros((8, 224, 224, 3)))["params"]
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
@@ -86,6 +94,11 @@ VARIANTS = {
     "einsum": dict(batch=512, attn_impl="einsum"),
     "mlp_pallas": dict(batch=512, mlp_impl="pallas"),
     "ln_bf16": dict(batch=512, ln_dtype="bfloat16"),
+    # class-token-only last block (exact numerics, ~7% fewer FLOPs)
+    "cls_last": dict(batch=512, cls_only_last=True),
+    # attention-kernel images-per-grid-step sweep (default 16)
+    "attn_g8": dict(batch=512, attn_block=8),
+    "attn_g32": dict(batch=512, attn_block=32),
 }
 
 

@@ -67,7 +67,16 @@ def _attn_kernel(qkv_ref, out_ref, *, heads: int):
         out_ref[:, :, h * d:(h + 1) * d] = o.astype(out_ref.dtype)
 
 
-def _block_size(B: int, limit: int = 16) -> int:
+# Images per Pallas grid step for the full attention kernel. 16 keeps the
+# per-step VMEM footprint (qkv block + per-head fp32 logits) comfortably
+# under budget; overridable for block-size experiments (device_step_bench
+# variants attn_g8/attn_g32).
+BLOCK_LIMIT = 16
+
+
+def _block_size(B: int, limit: int | None = None) -> int:
+    if limit is None:
+        limit = BLOCK_LIMIT
     for g in range(min(limit, B), 0, -1):
         if B % g == 0:
             return g
@@ -117,6 +126,92 @@ def _fused_attention_bwd(heads, interpret, qkv, g):
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Class-token-only attention: queries for token 0 only.
+#
+# In the LAST transformer block of the CLIP tower only the class token's
+# output is ever read (ln_post consumes x[:, 0] — nn/vit.py). Its attention
+# needs keys/values for every token but queries for token 0 alone, so the
+# logits shrink from (B, h, N, N) to (B, h, 1, N) and the q projection /
+# output projection / MLP run on one token instead of N — the exact same
+# arithmetic on the class-token row, just skipping rows nothing consumes
+# (~7% of the tower's FLOPs at ViT-B/32 shapes).
+# ---------------------------------------------------------------------------
+
+
+def _reference_attention_cls(q0: jnp.ndarray, kv: jnp.ndarray,
+                             heads: int) -> jnp.ndarray:
+    """Einsum attention for 1-token queries. q0 (B,1,D), kv (B,N,2D)."""
+    B, N, twoD = kv.shape
+    D = twoD // 2
+    d = D // heads
+    k, v = jnp.split(kv, 2, axis=-1)
+    q = q0.reshape(B, 1, heads, d)
+    k = k.reshape(B, N, heads, d)
+    v = v.reshape(B, N, heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * d**-0.5, k,
+                        preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(logits, axis=-1).astype(kv.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, 1, D)
+
+
+def _attn_cls_kernel(q_ref, kv_ref, out_ref, *, heads: int):
+    D = out_ref.shape[-1]
+    d = D // heads
+    scale = d**-0.5
+    for h in range(heads):
+        q = q_ref[:, :, h * d:(h + 1) * d]
+        k = kv_ref[:, :, h * d:(h + 1) * d]
+        v = kv_ref[:, :, D + h * d:D + (h + 1) * d]
+        # (G, 1, d) x (G, N, d) -> (G, 1, N)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(out_ref.dtype)
+        o = jax.lax.dot_general(attn, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        out_ref[:, :, h * d:(h + 1) * d] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_attention_cls(q0: jnp.ndarray, kv: jnp.ndarray, heads: int,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """Fused MHSA for token-0 queries: (B,1,D) q, (B,N,2D) kv -> (B,1,D)."""
+    interpret = _resolve_interpret(interpret)
+    B, N, twoD = kv.shape
+    D = twoD // 2
+    G = _block_size(B)
+    kernel = functools.partial(_attn_cls_kernel, heads=heads)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[pl.BlockSpec((G, 1, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, N, twoD), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, 1, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), kv.dtype),
+        interpret=interpret,
+    )(q0, kv)
+
+
+def _fused_attention_cls_fwd(q0, kv, heads, interpret):
+    return fused_attention_cls(q0, kv, heads, interpret), (q0, kv)
+
+
+def _fused_attention_cls_bwd(heads, interpret, res, g):
+    q0, kv = res
+    _, vjp = jax.vjp(lambda q, t: _reference_attention_cls(q, t, heads),
+                     q0, kv)
+    return vjp(g)
+
+
+fused_attention_cls.defvjp(_fused_attention_cls_fwd, _fused_attention_cls_bwd)
 
 
 # ---------------------------------------------------------------------------

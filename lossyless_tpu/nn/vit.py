@@ -50,11 +50,37 @@ class MHSA(nn.Module):
     heads: int
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"  # auto | pallas | einsum
+    # queries for the class token only: output is (B, 1, D). Exact same
+    # arithmetic as the full attention's token-0 row — used in the last
+    # block when only x[:, 0] is consumed downstream (VisionTransformer
+    # cls_only_last). K/V still cover every token; the q projection is a
+    # static column-slice of the same fused qkv kernel, so the parameter
+    # tree (and converted CLIP weights) are unchanged.
+    cls_only: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, N, D = x.shape
         h = self.heads
+        if self.cls_only:
+            w, b = _DenseParams(D, 3 * D, name="qkv")()
+            w = w.astype(self.dtype)
+            b = b.astype(self.dtype)
+            q0 = x[:, :1] @ w[:, :D] + b[:D]
+            kv = x @ w[:, D:] + b[D:]
+            impl = self.attn_impl
+            if impl == "auto":
+                impl = "pallas" if _use_pallas_attention() else "einsum"
+            if impl == "pallas":
+                from lossyless_tpu.nn.flash_attn import fused_attention_cls
+
+                out = fused_attention_cls(q0, kv, h)
+            else:
+                from lossyless_tpu.nn.flash_attn import \
+                    _reference_attention_cls
+
+                out = _reference_attention_cls(q0, kv, h)
+            return nn.Dense(D, dtype=self.dtype, name="proj")(out)
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         impl = self.attn_impl
         if impl == "auto":
@@ -157,11 +183,28 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     mlp_impl: str = "xla"  # xla | pallas
     ln_dtype: Any = jnp.float32
+    # compute only the class token's output (B, 1, width): exact same math
+    # as the full block's token-0 row. Only valid as the LAST block when
+    # downstream reads x[:, 0] alone (VisionTransformer cls_only_last).
+    cls_only: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(dtype=self.ln_dtype, epsilon=1e-5,
                          name="ln_1")(x).astype(self.dtype)
+        if self.cls_only:
+            # residual stream narrows to the class token; the MLP half-block
+            # then runs on one token (plain XLA path: a (B, 1, D) problem is
+            # too small for the fused-MLP kernel to matter)
+            x = x[:, :1] + MHSA(self.width, self.heads, self.dtype,
+                                self.attn_impl, cls_only=True,
+                                name="attn")(y)
+            y = nn.LayerNorm(dtype=self.ln_dtype, epsilon=1e-5,
+                             name="ln_2")(x).astype(self.dtype)
+            y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
+            y = y * nn.sigmoid(1.702 * y)
+            y = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(y)
+            return x + y
         x = x + MHSA(self.width, self.heads, self.dtype, self.attn_impl,
                      name="attn")(y)
         if self.mlp_impl == "pallas":
@@ -203,6 +246,13 @@ class VisionTransformer(nn.Module):
     # fuses the up/downcasts into the LN passes), so fp32 costs nothing.
     # Params stay fp32 either way; checkpoints/converters are unchanged.
     ln_dtype: Any = jnp.float32
+    # Encode-path shortcut: the final block computes only the class token's
+    # row (queries/MLP for token 0 alone; K/V still over all tokens) since
+    # ln_post reads x[:, 0] exclusively. EXACT same arithmetic — the skipped
+    # rows feed nothing — worth ~7% of the tower's FLOPs. Parameter tree and
+    # converted weights are unchanged; off by default for parity-shaped
+    # intermediate activations.
+    cls_only_last: bool = False
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -231,8 +281,9 @@ class VisionTransformer(nn.Module):
                          name="ln_pre")(x).astype(self.dtype)
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.layers):
+            cls_only = self.cls_only_last and i == self.layers - 1
             x = block_cls(self.width, self.heads, self.dtype, self.attn_impl,
-                          self.mlp_impl, self.ln_dtype,
+                          self.mlp_impl, self.ln_dtype, cls_only,
                           name=f"block{i}")(x)
 
         x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,

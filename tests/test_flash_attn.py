@@ -89,3 +89,36 @@ def test_odd_batch_sizes():
         out_r = _reference_attention(qkv, 2)
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_cls_attention_matches_full_token0_row():
+    """fused_attention_cls == the class-token row of full attention."""
+    from lossyless_tpu.nn.flash_attn import (_reference_attention_cls,
+                                             fused_attention_cls)
+
+    qkv = _qkv(B=8, N=50, D=96)
+    D = 96
+    q0 = qkv[:, :1, :D]
+    kv = qkv[:, :, D:]
+    full = _reference_attention(qkv, 4)[:, :1]
+    out_r = _reference_attention_cls(q0, kv, 4)
+    out_k = fused_attention_cls(q0, kv, 4, True)  # interpret mode (CPU)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cls_attention_grad_routes_through_einsum():
+    from lossyless_tpu.nn.flash_attn import (_reference_attention_cls,
+                                             fused_attention_cls)
+
+    q0 = jax.random.normal(jax.random.key(1), (2, 1, 32))
+    kv = jax.random.normal(jax.random.key(2), (2, 10, 64))
+    g1 = jax.grad(lambda q, t: fused_attention_cls(q, t, 4, True).sum(),
+                  argnums=(0, 1))(q0, kv)
+    g2 = jax.grad(lambda q, t: _reference_attention_cls(q, t, 4).sum(),
+                  argnums=(0, 1))(q0, kv)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

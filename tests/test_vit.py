@@ -223,3 +223,37 @@ def test_converter_full_clip_state_dict_ignores_text_tower():
     for (k, v), (_, g) in zip(jax.tree_util.tree_leaves_with_path(want),
                               jax.tree_util.tree_leaves_with_path(got)):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(v))
+
+
+def test_cls_only_last_matches_full_tower():
+    """cls_only_last=True: same param tree, same embeddings.
+
+    The final block computes only the class-token row; since ln_post reads
+    x[:, 0] exclusively this is the exact same arithmetic (skipped rows feed
+    nothing), so the fp32 outputs must agree tightly.
+    """
+    kw = dict(patch_size=32, width=64, layers=2, heads=2, out_dim=32,
+              dtype=jnp.float32, attn_impl="einsum")
+    m_full = VisionTransformer(**kw)
+    m_cls = VisionTransformer(cls_only_last=True, **kw)
+    x = jax.random.normal(jax.random.key(0), (3, 224, 224, 3))
+    v = m_full.init(jax.random.key(1), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(m_cls.init(jax.random.key(1), x)))
+    z_full = m_full.apply(v, x)
+    z_cls = m_cls.apply(v, x)  # same params through the cls-only path
+    np.testing.assert_allclose(np.asarray(z_cls), np.asarray(z_full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cls_only_last_pallas_interpret():
+    """The Pallas cls kernel path agrees with the einsum path end-to-end."""
+    kw = dict(patch_size=32, width=64, layers=2, heads=2, out_dim=32,
+              dtype=jnp.float32, cls_only_last=True)
+    m_e = VisionTransformer(attn_impl="einsum", **kw)
+    m_p = VisionTransformer(attn_impl="pallas", **kw)  # interpret on CPU
+    x = jax.random.normal(jax.random.key(0), (2, 224, 224, 3))
+    v = m_e.init(jax.random.key(1), x)
+    np.testing.assert_allclose(np.asarray(m_p.apply(v, x)),
+                               np.asarray(m_e.apply(v, x)),
+                               rtol=1e-4, atol=1e-4)
