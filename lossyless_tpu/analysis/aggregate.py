@@ -214,10 +214,38 @@ def summarize_RD_curves(
     return aurd.join(mindist).reset_index()
 
 
+def kwargs_log_scale(values, base: float | None = None) -> dict:
+    """Axis-scale kwargs for values that may include zero or negatives.
+
+    Equivalent of the reference's `kwargs_log_scale`
+    (utils/visualizations/helpers.py:21-77): plain log when every value is
+    positive, symlog with a linear region sized by the smallest nonzero
+    magnitude when zeros/negatives appear (beta sweeps start at 0), linear
+    when the values are equally spaced or the auto-base degenerates to 1.
+    The auto-base is the rounded mean ratio of consecutive positive values.
+    Returns {"value": scale_name, **scale_kwargs} for `ax.set_xscale`.
+    """
+    v = np.asarray(sorted({float(u) for u in np.asarray(values).ravel()
+                           if np.isfinite(u)}))
+    pos = v[v > 0]
+    if base is None:
+        base = (int(np.round(np.mean(pos[1:] / pos[:-1])))
+                if len(pos) > 1 else 10)
+    d = np.diff(v)
+    if base <= 1 or (len(d) > 1 and np.allclose(d, d[0])):
+        return {"value": "linear"}
+    if (v <= 0).any():
+        nnz = v[v != 0]
+        return {"value": "symlog", "base": base,
+                "linthresh": float(np.abs(nnz).min()) if len(nnz) else 1.0,
+                "linscale": 1.0 - 1.0 / base}
+    return {"value": "log", "base": base}
+
+
 def plot_scatter_lines(df: pd.DataFrame, out_path, x: str, y: str,
                        hue: str | None = None, kind: str = "line",
-                       logbase_x: float | None = None,
-                       logbase_y: float | None = None,
+                       logbase_x: float | str | None = None,
+                       logbase_y: float | str | None = None,
                        xlabel: str | None = None, ylabel: str | None = None,
                        is_errorbar: bool = False):
     """Generic scatter/line plot grouped by ``hue``
@@ -240,10 +268,16 @@ def plot_scatter_lines(df: pd.DataFrame, out_path, x: str, y: str,
                         capsize=3, label=str(name))
         else:
             ax.plot(g[x], g[y], style, label=str(name))
+    # "auto" derives the base from the data; zero/negative values fall back
+    # to symlog with a data-sized linear region (kwargs_log_scale)
     if logbase_x:
-        ax.set_xscale("log", base=logbase_x)
+        kw = kwargs_log_scale(df[x].dropna().values,
+                              base=None if logbase_x == "auto" else logbase_x)
+        ax.set_xscale(kw.pop("value"), **kw)
     if logbase_y:
-        ax.set_yscale("log", base=logbase_y)
+        kw = kwargs_log_scale(df[y].dropna().values,
+                              base=None if logbase_y == "auto" else logbase_y)
+        ax.set_yscale(kw.pop("value"), **kw)
     ax.set_xlabel(xlabel or prettify(x))
     ax.set_ylabel(ylabel or prettify(y))
     ax.legend()

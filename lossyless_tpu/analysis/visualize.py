@@ -130,3 +130,42 @@ def maxinv_distribution_plot(samples, max_invariant_fn, out_path,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_dataset_samples(dataset, out_path, n: int = 4, nrow: int = 2,
+                         seed: int = 123, pad: int = 2,
+                         pad_value: float = 1.0, title: str | None = None):
+    """Image grid of `n` dataset samples (utils/visualizations/images.py:14-31).
+
+    Accepts an (N, H, W, C) array or any dataset exposing the repo's
+    `.batches()` contract; `nrow` is images per grid row (the reference's
+    torchvision.make_grid convention), `pad_value` fills the gutters.
+    """
+    plt = _plt()
+    if hasattr(dataset, "batches"):
+        x = next(iter(dataset.batches(max(n, 1), n_epochs=1, seed=seed)))[0]
+        imgs = np.asarray(x)[:n]
+    else:
+        arr = np.asarray(dataset)
+        rng = np.random.default_rng(seed)
+        imgs = arr[rng.integers(0, len(arr), n)]
+    imgs = imgs.astype(np.float32)
+    k, H, W, C = imgs.shape
+    ncols = max(1, nrow)
+    nrows = -(-k // ncols)
+    grid = np.full((nrows * (H + pad) + pad, ncols * (W + pad) + pad, C),
+                   pad_value, np.float32)
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, ncols)
+        grid[pad + r * (H + pad):pad + r * (H + pad) + H,
+             pad + c * (W + pad):pad + c * (W + pad) + W] = im
+    fig, ax = plt.subplots(figsize=(2.2 * ncols, 2.2 * nrows))
+    ax.imshow(np.clip(grid.squeeze(), 0, 1),
+              cmap="gray" if C == 1 else None)
+    ax.axis("off")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -125,3 +125,47 @@ def test_aggregate_shell_entry(tmp_path, capsys):
     assert (tmp_path / "summarized_metrics_merged.csv").exists()
     assert (tmp_path / "rd_curves.png").exists()
     assert (tmp_path / "pareto.png").exists()
+
+
+def test_kwargs_log_scale():
+    from lossyless_tpu.analysis.aggregate import kwargs_log_scale
+
+    # pure geometric positives -> log with the inferred base
+    kw = kwargs_log_scale([0.01, 0.1, 1.0])
+    assert kw == {"value": "log", "base": 10}
+    # zero present (beta sweeps start at 0) -> symlog, linear region sized
+    # by the smallest nonzero magnitude
+    kw = kwargs_log_scale([0.0, 0.01, 0.1, 1.0])
+    assert kw["value"] == "symlog"
+    assert kw["linthresh"] == 0.01
+    # equally spaced -> linear regardless of requested base
+    assert kwargs_log_scale([1, 2, 3, 4], base=10) == {"value": "linear"}
+    # degenerate base -> linear
+    assert kwargs_log_scale([1.0, 1.1, 1.21]) == {"value": "linear"}
+
+
+def test_plot_dataset_samples(tmp_path):
+    from lossyless_tpu.analysis.visualize import plot_dataset_samples
+    from lossyless_tpu.data.images import ImageDataset
+
+    # array input
+    rng = np.random.default_rng(0)
+    arr = rng.uniform(0, 1, (10, 8, 8, 3)).astype(np.float32)
+    out = plot_dataset_samples(arr, tmp_path / "grid.png", n=4)
+    assert out.exists()
+    # dataset input through the batches() contract
+    ds = ImageDataset("mnist", split="train", synthetic=True)
+    out2 = plot_dataset_samples(ds, tmp_path / "grid_ds.png", n=4)
+    assert out2.exists()
+
+
+def test_scatter_lines_symlog_axis(tmp_path):
+    import pandas as pd
+
+    from lossyless_tpu.analysis.aggregate import plot_scatter_lines
+
+    df = pd.DataFrame({"beta": [0.0, 0.01, 0.1, 1.0],
+                       "acc": [0.9, 0.8, 0.7, 0.6]})
+    out = plot_scatter_lines(df, tmp_path / "s.png", x="beta", y="acc",
+                             logbase_x="auto")
+    assert out.exists()
