@@ -1,9 +1,10 @@
 """Convert torchvision-layout ResNet weights to our flax ResNet.
 
-Covers the reference's pretrained SSL towers (`PretrainedSSL`,
-architectures.py:312-379): torchvision ResNet-50 state dicts — plain
-supervised, SimCLR/SwAV backbones (pl_bolts export the same layout), and
-CLIP-RN50-style with minor renames handled by the caller.
+Covers the reference's torchvision-layout pretrained SSL towers
+(`PretrainedSSL`, architectures.py:312-379): plain supervised ResNet-50
+state dicts and SimCLR/SwAV backbones (pl_bolts export the same layout).
+CLIP's RN50 is NOT torchvision layout (3-conv stem, avg-pool downsampling,
+attention-pool head) — that one converts via `nn.clip_resnet`.
 
 Returns (params, batch_stats) flax collections for `nn.resnet.ResNet`.
 The classification head (`fc.*`) is skipped unless `include_head=True` and

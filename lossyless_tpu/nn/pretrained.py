@@ -90,7 +90,12 @@ def _convert_for_arch(arch: str, sd: dict, base: str = "resnet50"):
         from .vit import convert_openai_clip_weights
 
         return convert_openai_clip_weights(sd), None
-    if arch in ("clip_rn50", "simclr", "swav", "resnet"):
+    if arch == "clip_rn50":
+        # OpenAI CLIP RN50 = ModifiedResNet (visual.-prefix handled inside)
+        from .clip_resnet import convert_clip_resnet
+
+        return convert_clip_resnet(sd)
+    if arch in ("simclr", "swav", "resnet"):
         from .convert_resnet import convert_torchvision_resnet
 
         sd = _strip_ssl_prefix({k: v for k, v in sd.items()})

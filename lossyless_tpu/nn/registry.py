@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+from .clip_resnet import ClipResNet
 from .cnn import BalleDecoder, BalleEncoder, CNNDecoder, CNNEncoder
 from .mlp import FlattenLinear, FlattenMLP, Identity
 from .resnet import ResNet
@@ -55,10 +56,15 @@ def get_architecture(mode: str, in_shape, out_shape, **kwargs):
             raise ValueError(f"clip tower needs square inputs, got {h}x{w}")
         kwargs.setdefault("image_size", h)
         return VisionTransformer(out_dim=out_shape, **kwargs)
-    if mode in ("clip_rn50", "simclr", "swav"):
-        # pretrained-SSL towers (architectures.py:312-379): ResNet-50
-        # backbone; converted public weights load into the same param tree
-        # when available (this environment has no egress)
+    if mode == "clip_rn50":
+        # OpenAI CLIP's ModifiedResNet-50 (architectures.py:356-376 keeps
+        # clip.load("RN50").visual; out_dim asserted 1024 at :340): 3-conv
+        # stem, avg-pool anti-aliased downsampling, AttentionPool2d head
+        return ClipResNet(out_dim=out_shape, **kwargs)
+    if mode in ("simclr", "swav"):
+        # pretrained-SSL towers (architectures.py:312-379): torchvision
+        # ResNet-50 backbone; converted public weights load into the same
+        # param tree when available (this environment has no egress)
         return ResNet(out_dim=out_shape, in_shape=tuple(in_shape),
                       base="resnet50", **kwargs)
     raise ValueError(f"unknown architecture mode={mode}")

@@ -427,7 +427,10 @@ def preset(name: str) -> ExperimentConfig:
         # towers; switch tower via encoder.arch={clip_rn50,simclr,swav}
         cfg = preset("clip_bottleneck_pretrain")
         cfg.experiment = "ssl_bottleneck_pretrain"
-        cfg.encoder = EncoderConfig(arch="clip_rn50", z_dim=2048)
+        # CLIP RN50's AttentionPool2d emits 1024-d embeddings (the reference
+        # asserts out_dim==1024 for clip_rn50, architectures.py:339-340);
+        # simclr/swav towers pool to 2048 — override z_dim with the arch
+        cfg.encoder = EncoderConfig(arch="clip_rn50", z_dim=1024)
         cfg.loss = dataclasses.replace(cfg.loss, beta=1e-3)
         return cfg
     if name in ("galaxy_regression", "galaxy_neurips"):
