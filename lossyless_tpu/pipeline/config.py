@@ -333,18 +333,22 @@ def preset(name: str) -> ExperimentConfig:
             loss=LossConfig(beta=0.01),
         )
     if name in ("clip_lossyZ", "clip_bottleneck"):
-        # bottleneck_clip_lossyZ: frozen CLIP + factorized EB on features
+        # bottleneck_clip_lossyZ: FROZEN CLIP tower (finetune=freezer) +
+        # hyperprior rate on the 512-d embeddings, lossy_Z distortion,
+        # beta 5e-2 linearly annealed (config/featurizer/
+        # bottleneck_clip_lossyZ.yaml; the hub's factorized variant is
+        # clip_bottleneck_pretrain below)
         return ExperimentConfig(
             experiment="clip_lossyZ",
             data_feat=DataConfig(name="stl10", batch_size=128, n_epochs=10,
                                  kwargs=dict(additional_target="target")),
             encoder=EncoderConfig(arch="clip", z_dim=512),
-            rate=RateConfig(mode="H_factorized",
-                            eb_filters=(3, 3, 3, 3), is_endToEnd=False),
+            rate=RateConfig(mode="H_hyper", is_endToEnd=False),
             distortion=DistortionConfig(mode="lossy_Z"),
             online=OnlineEvalConfig(is_online=True,
                                     arch_kwargs=dict(hid_dim=512)),
             loss=LossConfig(beta=0.05),
+            frozen=("p_ZlX",),
         )
     if name in ("banana_viz_BINCE", "banana_bince"):
         # bin/banana/banana_viz_BINCE.sh: contrastive distortion on banana
@@ -408,8 +412,10 @@ def preset(name: str) -> ExperimentConfig:
         cfg.experiment = "stl10_dist_variation"
         return cfg
     if name in ("clip_bottleneck_pretrain",):
-        # bin/clip/clip_bottleneck_pretrain.sh: compress CLIP features of
-        # COCO captions (z=512, lossy_Z, 30 epochs, featurizer only)
+        # bin/clip/clip_hub.sh: train the hub bottleneck on COCO —
+        # featurizer=bottleneck_clip_lossyZ_factorized (the freezer +
+        # lossy_Z recipe with the rate swapped to H_factorized, whose
+        # EB state dict becomes hub/beta*/factorized_rate.pt)
         return ExperimentConfig(
             experiment="clip_bottleneck_pretrain",
             is_only_feat=True,
@@ -421,6 +427,7 @@ def preset(name: str) -> ExperimentConfig:
             distortion=DistortionConfig(mode="lossy_Z"),
             online=OnlineEvalConfig(is_online=False),
             loss=LossConfig(beta=0.05),
+            frozen=("p_ZlX",),
         )
     if name in ("ssl_bottleneck_pretrain",):
         # bin/ssl/bottleneck_pretrain.sh: same bottleneck on SSL ResNet-50
@@ -429,8 +436,11 @@ def preset(name: str) -> ExperimentConfig:
         cfg.experiment = "ssl_bottleneck_pretrain"
         # CLIP RN50's AttentionPool2d emits 1024-d embeddings (the reference
         # asserts out_dim==1024 for clip_rn50, architectures.py:339-340);
-        # simclr/swav towers pool to 2048 — override z_dim with the arch
+        # simclr/swav towers pool to 2048 — override z_dim with the arch.
+        # The rn50 recipes keep the hyperprior rate (bottleneck_rn50*_lossyZ
+        # use rate=H_hyper; only the hub export is factorized)
         cfg.encoder = EncoderConfig(arch="clip_rn50", z_dim=1024)
+        cfg.rate = RateConfig(mode="H_hyper", is_endToEnd=False)
         cfg.loss = dataclasses.replace(cfg.loss, beta=1e-3)
         return cfg
     if name in ("galaxy_regression", "galaxy_neurips"):
