@@ -412,23 +412,32 @@ def preset(name: str) -> ExperimentConfig:
         cfg.experiment = "stl10_dist_variation"
         return cfg
     if name in ("clip_bottleneck_pretrain",):
-        # bin/clip/clip_hub.sh: train the hub bottleneck on COCO —
-        # featurizer=bottleneck_clip_lossyZ_factorized (the freezer +
-        # lossy_Z recipe with the rate swapped to H_factorized, whose
-        # EB state dict becomes hub/beta*/factorized_rate.pt)
+        # bin/clip/clip_bottleneck_pretrain.sh: pretrain the CLIP
+        # bottleneck on COCO — featurizer=bottleneck_clip_lossyZ (frozen
+        # tower, lossy_Z, H_hyper rate, beta 5e-2, featurizer only)
         return ExperimentConfig(
             experiment="clip_bottleneck_pretrain",
             is_only_feat=True,
             data_feat=DataConfig(name="coco_clip", batch_size=128,
                                  n_epochs=30, kwargs=dict()),
             encoder=EncoderConfig(arch="clip", z_dim=512),
-            rate=RateConfig(mode="H_factorized", eb_filters=(3, 3, 3, 3),
-                            is_endToEnd=False),
+            rate=RateConfig(mode="H_hyper", is_endToEnd=False),
             distortion=DistortionConfig(mode="lossy_Z"),
             online=OnlineEvalConfig(is_online=False),
             loss=LossConfig(beta=0.05),
             frozen=("p_ZlX",),
         )
+    if name in ("clip_hub",):
+        # bin/clip/clip_hub.sh: train the three hub betas on COCO with
+        # featurizer=bottleneck_clip_lossyZ_factorized — same recipe but
+        # the FACTORIZED rate, whose EB state dict becomes the published
+        # hub/beta*/factorized_rate.pt (sweep loss.beta over
+        # {1e-2, 5e-2, 1e-1} on the CLI; export via hub.save_hub)
+        cfg = preset("clip_bottleneck_pretrain")
+        cfg.experiment = "clip_hub"
+        cfg.rate = RateConfig(mode="H_factorized", eb_filters=(3, 3, 3, 3),
+                              is_endToEnd=False)
+        return cfg
     if name in ("ssl_bottleneck_pretrain",):
         # bin/ssl/bottleneck_pretrain.sh: same bottleneck on SSL ResNet-50
         # towers; switch tower via encoder.arch={clip_rn50,simclr,swav}
@@ -555,7 +564,7 @@ def available_presets() -> list[str]:
             "mnist_stag_step1", "mnist_stag_step2", "stl10_bince",
             "stl10_balle", "stl10_rate_variation", "stl10_dist_variation",
             "stl10_action_dist_shift", "stl10_understand_VIC",
-            "clip_lossyZ", "clip_bottleneck_pretrain",
+            "clip_lossyZ", "clip_bottleneck_pretrain", "clip_hub",
             "ssl_bottleneck_pretrain", "ssl_bottleneck_linear_eval",
             "ssl_bottleneck_mlp_eval", "clip_bottleneck_linear_eval",
             "clip_bottleneck_mlp_eval", "clip_raw_linear_eval",
