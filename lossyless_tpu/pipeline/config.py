@@ -306,13 +306,15 @@ def preset(name: str) -> ExperimentConfig:
         # banana_viz_VIC.sh:21), so the published banana VAE numbers use 1
         return cfg
     if name in ("mnist_vic", "augmnist_viz_VIC"):
-        # bin/mnist experiments: H_hyper z=128 beta=0.1 on augmented MNIST
+        # bin/mnist/augmnist_viz_VIC.sh: resnet18 encoder, H_hyper rate,
+        # z=128, beta=0.1, 100 epochs on augmented MNIST (the mnist spec's
+        # default equivalence set = mnist_aug's [x/y-translation, rotation,
+        # scale, shear]); featurizer=neural_rec = image reconstruction
         return ExperimentConfig(
             experiment="augmnist_viz_VIC",
-            data_feat=DataConfig(name="mnist", batch_size=256, n_epochs=20,
+            data_feat=DataConfig(name="mnist", batch_size=256, n_epochs=100,
                                  kwargs=dict(additional_target="representative")),
-            encoder=EncoderConfig(arch="cnn", z_dim=128,
-                                  arch_kwargs=dict(hid_dim=32)),
+            encoder=EncoderConfig(arch="resnet", z_dim=128),
             rate=RateConfig(mode="H_hyper"),
             distortion=DistortionConfig(mode="direct", data_mode="image",
                                         arch_kwargs=dict(hid_dim=32)),
@@ -370,17 +372,26 @@ def preset(name: str) -> ExperimentConfig:
         cfg.experiment = "augmnist_RD"
         return cfg
     if name in ("mnist_stag_step1", "augmnist_stag_step1"):
-        # bin/mnist/augmnist_stag_step1.sh: train everything, export weights
+        # bin/mnist/augmnist_stag_step1.sh: train the encoder with NO
+        # learned rate (rate=lossless, beta=1), export weights for step 2
         cfg = preset("mnist_vic")
         cfg.experiment = "augmnist_stag"
         cfg.is_only_feat = True
+        cfg.rate = RateConfig(mode="lossless")
+        cfg.loss = dataclasses.replace(cfg.loss, beta=1.0)
         return cfg
     if name in ("mnist_stag_step2", "augmnist_stag_step2"):
-        # step2: frozen encoder, retrain the rate estimator on top
-        # (reference Freezer callback freezes the featurizer's encoder)
+        # bin/mnist/augmnist_stag_step2.sh: FROZEN step-1 encoder
+        # (finetune=freezer; point encoder.pretrained_path at step 1's
+        # export), H_hyper rate trained on top with a detached encoder
+        # (is_endToEnd=False), lossy_Z distortion, beta=1e-2, 50 epochs
         cfg = preset("mnist_vic")
         cfg.experiment = "augmnist_stag"
         cfg.frozen = ("p_ZlX",)
+        cfg.rate = RateConfig(mode="H_hyper", is_endToEnd=False)
+        cfg.distortion = DistortionConfig(mode="lossy_Z")
+        cfg.data_feat = dataclasses.replace(cfg.data_feat, n_epochs=50)
+        cfg.loss = dataclasses.replace(cfg.loss, beta=1e-2)
         return cfg
     if name in ("stl10_balle",):
         # bin/stl10/STL10_balle.sh: Balle-style conv autoencoder + spatial

@@ -66,6 +66,8 @@ def test_bf16_compressor_trains_through_config(tmp_path):
 
     m = main([
         "mnist_vic", "data_feat.n_epochs=1", "data_feat.batch_size=64",
+        "encoder.arch=cnn",  # small tower for test speed (preset: resnet18)
+        "encoder.arch_kwargs.hid_dim=16",
         "encoder.arch_kwargs.dtype=bfloat16",
         "distortion.arch_kwargs.dtype=bfloat16",
         "data_feat.kwargs.synthetic=True", "data_feat.kwargs.synthetic_n=256",
@@ -103,6 +105,8 @@ def test_trainer_precision_flag(tmp_path):
 
     m = main([
         "mnist_vic", "data_feat.n_epochs=1", "data_feat.batch_size=64",
+        "encoder.arch=cnn",  # small tower for test speed (preset: resnet18)
+        "encoder.arch_kwargs.hid_dim=16",
         "trainer.precision=bf16",
         "data_feat.kwargs.synthetic=True", "data_feat.kwargs.synthetic_n=256",
         "is_only_feat=True", "is_skip_comm=True", "trainer.log_every=0",

@@ -91,6 +91,9 @@ def test_weights_export_preserves_batch_stats(tmp_path):
         "'synthetic':True,'synthetic_n':512}",
         "data_feat.n_epochs=1", "data_feat.batch_size=128",
         "data_feat.val_batch_size=128",
+        # CNN encoder for test speed (preset default is resnet18); still
+        # carries BatchNorm batch_stats, which is what this test pins
+        "encoder.arch=cnn",
         "encoder.arch_kwargs={'hid_dim':16}",
         "distortion.arch_kwargs={'hid_dim':16}",
         "online.arch_kwargs={'hid_dim':16}",
