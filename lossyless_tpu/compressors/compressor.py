@@ -108,12 +108,23 @@ class OnlineEvaluator(nn.Module):
     def __call__(self, z, y, *, training: bool = False):
         z = jax.lax.stop_gradient(z)
         y_hat = self.model(z, training=training)
-        loss = prediction_loss(y_hat, y, self.cfg.is_classification).mean()
-        logs = {"online_loss": loss}
         if self.cfg.is_classification:
-            acc = jnp.mean((jnp.argmax(y_hat, -1) == y).astype(jnp.float32))
-            logs["online_acc"] = acc
-            logs["online_err"] = 1.0 - acc
+            # unlabeled samples carry target -1 (e.g. STL10's unlabeled
+            # split, reference images.py:662-666): mask them out of the
+            # probe loss/metrics instead of letting the label gather wrap
+            # to the last class. An all-unlabeled batch yields loss 0 (and
+            # therefore zero probe updates).
+            valid = (y >= 0)
+            denom = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+            per = prediction_loss(y_hat, jnp.maximum(y, 0), True)
+            loss = jnp.where(valid, per, 0.0).sum() / denom
+            hit = (jnp.argmax(y_hat, -1) == y).astype(jnp.float32)
+            acc = jnp.where(valid, hit, 0.0).sum() / denom
+            logs = {"online_loss": loss, "online_acc": acc,
+                    "online_err": 1.0 - acc}
+        else:
+            loss = prediction_loss(y_hat, y, False).mean()
+            logs = {"online_loss": loss}
         return loss, logs
 
 

@@ -177,6 +177,8 @@ def _synthetic(spec: ImageSpec, split: str, n: int, seed: int):
         noise = rng.normal(0, 0.08, (len(idx), h, w, c))
         img = np.clip(base[None, :, :, None] + noise, 0, 1)
         imgs[idx] = (img * 255).astype(np.uint8)
+    if split == "unlabeled":  # match the real loader's -1 targets
+        labels = np.full(n, -1)
     return imgs, labels.astype(np.int64)
 
 
@@ -189,6 +191,11 @@ class ImageDataset:
 
     name: str = "mnist"
     split: str = "train"
+    # underlying split used when split == "train": "unlabeled" gives the
+    # reference's STL10Unlabeled semantics (train on the 100k unlabeled
+    # images, targets -1; val carved from it; test stays labeled —
+    # reference utils/data/images.py:662-666)
+    train_split: str | None = None
     equivalence: Sequence[str] | None = None
     additional_target: str | None = "representative"
     is_normalize: bool = False
@@ -221,7 +228,9 @@ class ImageDataset:
         elif self.split == "train" and self.val_fraction > 0:
             self.data, self.targets = self._carve("train")
         else:
-            self.data, self.targets = self._load_any(self.split)
+            self.data, self.targets = self._load_any(
+                (self.train_split or "train") if self.split == "train"
+                else self.split)
             if self.split == "train":
                 # full-train instance: register fraction 0 (if nothing is
                 # registered yet) so a LATER validation carve on the same
@@ -229,7 +238,8 @@ class ImageDataset:
                 # instance's training data. The reverse order — a full-train
                 # view after a 0.1-carved pair — is legitimate
                 # (featurization over the whole train set) and not flagged.
-                reg_key = (self.name, str(self.data_dir))
+                reg_key = (self.name, self.train_split or "train",
+                           str(self.data_dir))
                 ImageDataset._carve_fractions.setdefault(reg_key, 0.0)
         self._augment = jax.jit(make_augmenter(self.equivalence)) \
             if self.equivalence else None
@@ -292,10 +302,11 @@ class ImageDataset:
                 f"val_fraction > 0 (got {frac}) — with val_fraction=0 the "
                 f"whole train set is training data and no validation split "
                 f"exists")
-        data, targets = self._load_any("train")
-        # registered only after a successful load, keyed per data root:
-        # independent experiments over different data_dirs don't conflict
-        reg_key = (self.name, str(self.data_dir))
+        data, targets = self._load_any(self.train_split or "train")
+        # registered only after a successful load, keyed per data root AND
+        # underlying train split (labeled / unlabeled instances partition
+        # different data): independent experiments don't conflict
+        reg_key = (self.name, self.train_split or "train", str(self.data_dir))
         seen = ImageDataset._carve_fractions.setdefault(reg_key, frac)
         if seen != frac:
             raise ValueError(
@@ -444,6 +455,10 @@ def get_datamodule(name: str, **kwargs):
     if name == "banana":
         from .banana import BananaDataset
         return BananaDataset(**kwargs)
+    if name == "stl10_unlabeled":
+        # the reference's STL10Unlabeled datamodule: featurizer trains on
+        # the 100k unlabeled images (targets -1), eval splits stay labeled
+        return ImageDataset(name="stl10", train_split="unlabeled", **kwargs)
     if name in SPECS:
         return ImageDataset(name=name, **kwargs)
     if name == "imagenet":

@@ -400,8 +400,12 @@ def preset(name: str) -> ExperimentConfig:
         # 4 stride-2 convs -> 8x8 positions x 128 channels.
         return ExperimentConfig(
             experiment="stl10_balle",
-            data_feat=DataConfig(name="stl10", batch_size=64, n_epochs=20,
+            # featurizer trains on the 100k unlabeled images (reference
+            # data@data_feat=stl10_unlabeled), the probe on labeled STL10
+            data_feat=DataConfig(name="stl10_unlabeled", batch_size=64,
+                                 n_epochs=100,
                                  kwargs=dict(additional_target="input")),
+            data_pred=DataConfig(name="stl10", batch_size=64),
             encoder=EncoderConfig(arch="balle", z_dim=8192,
                                   arch_kwargs=dict(hid_dim=64)),
             rate=RateConfig(mode="H_spatial", n_channels=128),
@@ -410,16 +414,23 @@ def preset(name: str) -> ExperimentConfig:
                                         arch_kwargs=dict(hid_dim=64)),
             online=OnlineEvalConfig(is_online=True,
                                     arch_kwargs=dict(hid_dim=512)),
-            loss=LossConfig(beta=0.1),
+            # the script sweeps featurizer.loss.beta over 1e-8..1e-3
+            # (STL10_balle.sh:57); the largest published point is the base
+            loss=LossConfig(beta=1e-3),
         )
     if name in ("stl10_rate_variation",):
-        # bin/stl10/STL10_rate_variation.sh: sweep rate.mode over this base
-        cfg = preset("stl10_bince")
+        # bin/stl10/STL10_rate_variation.sh: VIC/VAE on unlabeled STL10,
+        # sweep rate.mode over {H_factorized, H_hyper, MI_unitgaussian}
+        # (+ beta/beta_anneal) on the CLI
+        cfg = preset("stl10_understand_VIC")
         cfg.experiment = "stl10_rate_variation"
+        cfg.rate = RateConfig(mode="H_factorized")
         return cfg
     if name in ("stl10_dist_variation",):
-        # bin/stl10/STL10_dist_variation_*.sh: sweep distortion.mode
-        cfg = preset("stl10_bince")
+        # bin/stl10/STL10_dist_variation_{featpred,recpred}.sh: resnet18 +
+        # H_hyper on unlabeled STL10, sweep distortion over VIC/VAE/BINCE
+        # (+ z_dim/beta/factor_beta) on the CLI
+        cfg = preset("stl10_understand_VIC")
         cfg.experiment = "stl10_dist_variation"
         return cfg
     if name in ("clip_bottleneck_pretrain",):
@@ -538,7 +549,8 @@ def preset(name: str) -> ExperimentConfig:
         # distribution shift; VIC distortion, H_hyper rate, MLP probe
         return ExperimentConfig(
             experiment=name,
-            data_feat=DataConfig(name="stl10", batch_size=256, n_epochs=100,
+            data_feat=DataConfig(name="stl10_unlabeled", batch_size=256,
+                                 n_epochs=100,
                                  kwargs=dict(additional_target="representative")),
             data_pred=DataConfig(name="stl10", batch_size=256),
             encoder=EncoderConfig(arch="resnet", z_dim=128),

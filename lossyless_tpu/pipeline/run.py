@@ -30,7 +30,7 @@ from ..compressors.rates import FactorizedCoder, lossless_bits
 from ..core import mesh as meshlib
 from ..core.math import LOG2
 from ..data.banana import BananaDataset
-from ..data.images import ImageDataset, get_datamodule
+from ..data.images import get_datamodule
 from ..pipeline.config import ExperimentConfig
 from ..pipeline.predictor import PredictorTrainer, featurize_dataset
 from ..train.checkpoints import (CheckpointManager, is_stage_done,
@@ -164,12 +164,7 @@ def instantiate_datamodule(cfg: ExperimentConfig, data_cfg, split="train"):
         at = kwargs.get("additional_target", "representative")
         cfg.aux_shape = 1 if at == "target" else 2
         return ds
-    from ..data.images import SPECS
-
-    if data_cfg.name in SPECS:
-        ds = ImageDataset(name=data_cfg.name, split=split, **kwargs)
-    else:
-        ds = get_datamodule(data_cfg.name, split=split, **kwargs)
+    ds = get_datamodule(data_cfg.name, split=split, **kwargs)
     cfg.in_shape = ds.spec.shape
     cfg.target_shape = ds.spec.n_classes
     at = kwargs.get("additional_target",
@@ -200,9 +195,8 @@ def _eval_dataset(cfg: ExperimentConfig, data_cfg, split: str):
         kwargs["length"] = min(kwargs.get("length", 20480), 20480)
         kwargs["seed"] = cfg.trainer.seed + (1 if split == "validation" else 2)
         return BananaDataset(**kwargs)
-    if data_cfg.name in SPECS:
+    if data_cfg.name in SPECS or data_cfg.name == "stl10_unlabeled":
         kwargs.setdefault("is_augment", False)
-        return ImageDataset(name=data_cfg.name, split=split, **kwargs)
     return get_datamodule(data_cfg.name, split=split, **kwargs)
 
 

@@ -328,3 +328,45 @@ def test_val_fraction_zero_contract():
     finally:
         ImageDataset._carve_fractions.clear()
         ImageDataset._carve_fractions.update(saved)
+
+
+def test_stl10_unlabeled_split_semantics():
+    """stl10_unlabeled: train/val come from the unlabeled split (targets
+    -1), test stays labeled (reference STL10Unlabeled, images.py:662-666)."""
+    from lossyless_tpu.data.images import get_datamodule
+
+    tr = get_datamodule("stl10_unlabeled", synthetic=True, synthetic_n=64)
+    _, y, _ = next(tr.batches(16, seed=0))
+    assert set(map(int, y)) == {-1}
+    va = get_datamodule("stl10_unlabeled", split="validation",
+                        synthetic=True, synthetic_n=64)
+    assert set(map(int, va.targets)) == {-1}
+    te = get_datamodule("stl10_unlabeled", split="test", synthetic=True,
+                        synthetic_n=64)
+    assert (te.targets >= 0).all()
+
+
+def test_online_evaluator_masks_unlabeled():
+    """-1 targets are excluded from the online probe loss/acc (and an
+    all-unlabeled batch produces exactly zero loss, hence zero updates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lossyless_tpu.compressors.compressor import (OnlineEvalConfig,
+                                                      OnlineEvaluator)
+
+    m = OnlineEvaluator(OnlineEvalConfig(arch="linear", arch_kwargs={}),
+                        z_dim=8, target_shape=4)
+    z = jax.random.normal(jax.random.key(0), (6, 8))
+    y_mixed = jnp.asarray([0, 1, -1, 2, -1, 3])
+    v = m.init(jax.random.key(1), z, y_mixed)
+    loss_mixed, logs = m.apply(v, z, y_mixed)
+    # equals the loss over only the labeled rows
+    keep = jnp.asarray([0, 1, 3, 5])
+    loss_sub, _ = m.apply(v, z[keep], y_mixed[keep])
+    np.testing.assert_allclose(float(loss_mixed), float(loss_sub), rtol=1e-6)
+    assert 0.0 <= float(logs["online_acc"]) <= 1.0
+
+    loss_unl, logs_unl = m.apply(v, z, jnp.full((6,), -1))
+    assert float(loss_unl) == 0.0
+    assert float(logs_unl["online_acc"]) == 0.0
