@@ -126,6 +126,7 @@ class CocoClipDataset:
     split: str = "train"
     data_dir: Path = DATA_DIR
     additional_target: str | None = "equiv_x"
+    is_augment: bool = False  # augmentation left to the device pipeline
 
     def __post_init__(self):
         self.spec = COCO_SPEC
@@ -189,6 +190,7 @@ class GalaxyZooDataset:
     split: str = "train"
     data_dir: Path = DATA_DIR
     additional_target: str | None = "target"
+    is_augment: bool = False  # augmentation left to the device pipeline
     synthetic: bool = False
     synthetic_n: int = 2048
     seed: int = 0
@@ -229,6 +231,11 @@ class GalaxyZooDataset:
 
     @property
     def aux_shape(self):
+        # "input"/"representative" pair each image with itself (VAE/VIC
+        # reconstruction, the neurips-final galaxy recipe); the default
+        # "target" yields the 37 regression probabilities
+        if self.additional_target in ("input", "representative"):
+            return self.spec.shape
         return 37
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
@@ -236,6 +243,7 @@ class GalaxyZooDataset:
         h, w, _ = self.spec.shape
         rng = np.random.default_rng(seed)
         n = len(self)
+        as_input = self.additional_target in ("input", "representative")
         for _ in range(n_epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)
             stop = n - batch_size + 1 if drop_last else n
@@ -247,4 +255,4 @@ class GalaxyZooDataset:
                     x = _load_jpeg_batch([self.paths[j] for j in idx],
                                          (h, w)).astype(np.float32) / 255.0
                 y = self.targets[idx].astype(np.float32)
-                yield x, y, y.copy()
+                yield x, y, (x.copy() if as_input else y.copy())

@@ -475,20 +475,29 @@ def preset(name: str) -> ExperimentConfig:
         cfg.loss = dataclasses.replace(cfg.loss, beta=1e-3)
         return cfg
     if name in ("galaxy_regression", "galaxy_neurips"):
-        # bin/galaxy/GalaxyZoo_neurips_final.sh: 37-task regression
+        # bin/galaxy/GalaxyZoo_neurips_final.sh: VAE reconstruction
+        # featurizer — balle encoder + SPATIAL hyperprior (the script's
+        # final kwargs: architecture@encoder=balle, rate=H_spatial,
+        # distortion=VAE, encoder.z_dim swept {65536..8192}, beta hyperopt
+        # over 1e-12..1e-4, 100 epochs) — with the 37-probability kaggle
+        # regression in the predictor stage. 128px galaxy crops -> 8x8
+        # positions x 128 channels at the smallest published z_dim.
         return ExperimentConfig(
             experiment="galaxy_regression",
             data_feat=DataConfig(name="galaxy_zoo", batch_size=128,
-                                 n_epochs=20, kwargs=dict()),
-            encoder=EncoderConfig(arch="resnet", z_dim=128),
-            rate=RateConfig(mode="H_factorized"),
-            distortion=DistortionConfig(mode="direct",
-                                        data_mode="distribution",
-                                        is_classification=False,
-                                        arch_kwargs=dict(hid_dim=512)),
+                                 n_epochs=100,
+                                 kwargs=dict(additional_target="input")),
+            data_pred=DataConfig(name="galaxy_zoo", batch_size=128,
+                                 kwargs=dict()),
+            encoder=EncoderConfig(arch="balle", z_dim=8192,
+                                  arch_kwargs=dict(hid_dim=64)),
+            rate=RateConfig(mode="H_spatial", n_channels=128),
+            distortion=DistortionConfig(mode="direct", data_mode="image",
+                                        arch="balle",
+                                        arch_kwargs=dict(hid_dim=64)),
             online=OnlineEvalConfig(is_online=True, is_classification=False,
                                     arch_kwargs=dict(hid_dim=512)),
-            loss=LossConfig(beta=0.01),
+            loss=LossConfig(beta=1e-6),
             predictor=PredictorConfig(is_classification=False),
         )
     if name in ("clip_bottleneck_linear_eval",):
