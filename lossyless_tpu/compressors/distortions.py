@@ -149,7 +149,14 @@ class ContrastiveDistortion(nn.Module):
         if self.cfg.is_project:
             zs = self.projector(zs, training=training)
         if self.cfg.is_cosine:
-            zs = zs / jnp.linalg.norm(zs, axis=-1, keepdims=True).clip(1e-12)
+            # safe normalization: eps INSIDE the sqrt. jnp.linalg.norm has a
+            # NaN gradient at exactly-zero rows (sqrt'(0)=inf, and the 0 from
+            # a clipped denominator multiplies it into 0*inf) — and zero rows
+            # really occur: a freshly-initialized projector with a dead ReLU
+            # row outputs exactly its zero bias. torch's F.cosine_similarity
+            # defines the subgradient as 0 there; this matches.
+            sq = jnp.sum(jnp.square(zs), axis=-1, keepdims=True)
+            zs = zs / jnp.sqrt(sq + 1e-12)
 
         n = 2 * batch_size
         # (2B, 2B) global similarity — XLA all-gathers shards automatically

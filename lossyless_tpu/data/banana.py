@@ -34,7 +34,7 @@ def device_sample_batch(key, batch_size: int, equivalence: str = "rotation",
     import jax
     import jax.numpy as jnp
 
-    k_base, k_act = jax.random.split(key)
+    k_base, k_act, k_equiv = jax.random.split(key, 3)
     d = BananaDistribution()
     std = jnp.array([d.factor * d.scale, d.scale], jnp.float32)
     x = jax.random.normal(k_base, (batch_size, 2)) * std
@@ -60,6 +60,13 @@ def device_sample_batch(key, batch_size: int, equivalence: str = "rotation",
             aux = rep
         elif additional_target == "input":
             aux = x
+        elif additional_target == "equiv_x":
+            # another sample from the SAME orbit (contrastive positive,
+            # reference base.py toadd_target "equiv_x")
+            ang = jax.random.uniform(k_equiv, (batch_size,)) * 2 * jnp.pi
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            aux = jnp.stack([c * x[:, 0] - s * x[:, 1],
+                             s * x[:, 0] + c * x[:, 1]], -1)
         else:
             aux = mx
     elif equivalence in ("x_translation", "y_translation"):
@@ -78,6 +85,12 @@ def device_sample_batch(key, batch_size: int, equivalence: str = "rotation",
             aux = rep
         elif additional_target == "input":
             aux = x
+        elif additional_target == "equiv_x":
+            # same orbit = same invariant coordinate, fresh translation
+            lo, hi = ((-3.30, 2.59) if jitter_axis == 0 else (-3.03, 1.93))
+            jit = jax.random.uniform(k_equiv, (batch_size,), minval=lo,
+                                     maxval=hi)
+            aux = x.at[:, jitter_axis].set(jit)
         else:
             aux = mx
     else:
@@ -207,6 +220,11 @@ class BananaDataset:
                     aux = rep
                 elif self.additional_target == "input":
                     aux = x
+                elif self.additional_target == "equiv_x":
+                    # a second, independent sample from the same orbit
+                    # (contrastive positive — reference base.py:93-109
+                    # toadd_target "equiv_x" via get_equiv_x)
+                    aux = self.sample_action(self.representative(mx), rng)
                 elif self.additional_target == "target":
                     aux = mx
                 else:

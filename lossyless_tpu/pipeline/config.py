@@ -354,11 +354,15 @@ def preset(name: str) -> ExperimentConfig:
         )
     if name in ("banana_viz_BINCE", "banana_bince"):
         # bin/banana/banana_viz_BINCE.sh: contrastive distortion on banana
+        # with a 1-d latent (encoder.z_dim=1), the contrastive defaults
+        # (trainable temperature 0.01, cosine logits) and the effective-
+        # batch-size reweighting DISABLED (the script pins it to null)
         cfg = preset("banana_viz_VIC")
         cfg.experiment = "banana_viz_BINCE"
         cfg.data_feat.kwargs["additional_target"] = "equiv_x"
-        cfg.distortion = DistortionConfig(mode="contrastive", project_dim=2,
-                                          temperature=0.1)
+        cfg.encoder = dataclasses.replace(cfg.encoder, z_dim=1)
+        cfg.distortion = DistortionConfig(mode="contrastive", project_dim=1,
+                                          effective_batch_size=None)
         return cfg
     if name in ("banana_viz_VIC_trnslt",):
         # bin/banana/banana_viz_VIC_trnslt.sh: translation equivalence

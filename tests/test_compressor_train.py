@@ -212,3 +212,33 @@ def test_prediction_loss_matches_torch_semantics():
                            reduction="none").numpy()
     got1 = np.asarray(prediction_loss(jnp.asarray(yh1), jnp.asarray(y1)))
     np.testing.assert_allclose(got1, ref1, rtol=1e-4, atol=1e-5)
+
+
+def test_contrastive_grad_finite_with_zero_projection_rows():
+    """Exactly-zero projector outputs must not NaN the cosine gradient.
+
+    A freshly-initialized projector with a dead ReLU row outputs exactly
+    its zero bias; jnp.linalg.norm's gradient at 0 is NaN (sqrt'(0)=inf
+    times the clipped denominator's 0). The safe-norm (eps inside sqrt)
+    defines the subgradient as 0 there, like torch's F.cosine_similarity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lossyless_tpu.compressors.distortions import (ContrastiveDistortion,
+                                                       DistortionConfig)
+
+    cfg = DistortionConfig(mode="contrastive", project_dim=1,
+                           effective_batch_size=None)
+    m = ContrastiveDistortion(cfg)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(0, 1, (8, 1)).astype(np.float32))
+    zp = jnp.asarray(rng.normal(0, 1, (8, 1)).astype(np.float32))
+    v = m.init(jax.random.key(0), z, zp)
+
+    def loss(p):
+        d, _ = m.apply({"params": p}, z, zp, training=True)
+        return d.mean()
+
+    g = jax.grad(loss)(v["params"])
+    assert all(bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(g))
