@@ -34,9 +34,10 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     from lossyless_tpu.hub.load_reference import load_factorized_rate
     from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, VisionTransformer
 
-    if attn_block is not None:
-        from lossyless_tpu.nn import flash_attn
+    from lossyless_tpu.nn import flash_attn
 
+    saved_block = flash_attn.BLOCK_LIMIT
+    if attn_block is not None:
         flash_attn.BLOCK_LIMIT = attn_block
 
     eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
@@ -81,6 +82,9 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     q = len(gaps) // 4
     mid = gaps[q:len(gaps) - q] or gaps
     best = sum(mid) / len(mid)
+    # restore the module default so later variants in the same process
+    # measure what their name says (attn_g* must not leak)
+    flash_attn.BLOCK_LIMIT = saved_block
     return {"variant": name, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1),

@@ -143,7 +143,10 @@ def plot_dataset_samples(dataset, out_path, n: int = 4, nrow: int = 2,
     """
     plt = _plt()
     if hasattr(dataset, "batches"):
-        x = next(iter(dataset.batches(max(n, 1), n_epochs=1, seed=seed)))[0]
+        # cap at the dataset size: batches() drops ragged tails by default,
+        # so asking for more than len(dataset) would yield nothing
+        n = max(1, min(n, len(dataset)))
+        x = next(iter(dataset.batches(n, n_epochs=1, seed=seed)))[0]
         imgs = np.asarray(x)[:n]
     else:
         arr = np.asarray(dataset)

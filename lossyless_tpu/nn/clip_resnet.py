@@ -36,12 +36,9 @@ import numpy as np
 
 
 def _use_pallas() -> bool:
-    try:
-        import jax
+    from .flash_attn import use_pallas_backend
 
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return use_pallas_backend()
 
 
 class ClipBottleneck(nn.Module):

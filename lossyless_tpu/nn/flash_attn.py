@@ -83,11 +83,30 @@ def _block_size(B: int, limit: int | None = None) -> int:
     return 1
 
 
+def use_pallas_backend() -> bool:
+    """True on real TPU backends (the single source of this probe —
+    nn.vit and nn.clip_resnet pick their attention impl through it)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _resolve_interpret(interpret) -> bool:
     """None -> interpreter mode on non-TPU backends (CPU tests)."""
     if interpret is None:
-        return jax.default_backend() not in ("tpu", "axon")
+        return not use_pallas_backend()
     return interpret
+
+
+def _vmem_block_limit(per_image_bytes: int, budget: int = 4 << 20) -> int:
+    """Cap images-per-grid-step so the main input block fits the budget.
+
+    BLOCK_LIMIT=16 was sized for the ViT's bf16 (N=50, 3D=2304) qkv blocks
+    (~3.7 MiB); wider/fp32 callers (e.g. the RN50 attention pool's
+    (N, 2*2048) fp32 kv) must scale G down or Mosaic runs out of VMEM.
+    """
+    return max(1, min(BLOCK_LIMIT, budget // max(1, per_image_bytes)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -101,7 +120,8 @@ def fused_attention(qkv: jnp.ndarray, heads: int,
     interpret = _resolve_interpret(interpret)
     B, N, threeD = qkv.shape
     D = threeD // 3
-    G = _block_size(B)
+    per_img = N * threeD * jnp.dtype(qkv.dtype).itemsize
+    G = _block_size(B, _vmem_block_limit(per_img))
     kernel = functools.partial(_attn_kernel, heads=heads)
     return pl.pallas_call(
         kernel,
@@ -184,7 +204,8 @@ def fused_attention_cls(q0: jnp.ndarray, kv: jnp.ndarray, heads: int,
     interpret = _resolve_interpret(interpret)
     B, N, twoD = kv.shape
     D = twoD // 2
-    G = _block_size(B)
+    per_img = N * twoD * jnp.dtype(kv.dtype).itemsize
+    G = _block_size(B, _vmem_block_limit(per_img))
     kernel = functools.partial(_attn_cls_kernel, heads=heads)
     return pl.pallas_call(
         kernel,

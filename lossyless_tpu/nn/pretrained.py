@@ -106,6 +106,47 @@ def _convert_for_arch(arch: str, sd: dict, base: str = "resnet50"):
         f"(supported: clip/clip_vit, clip_rn50/simclr/swav/resnet)")
 
 
+def _adapt_positional_embeddings(init_tree: dict, loaded_tree: dict) -> dict:
+    """Bicubically resample token-grid positional embeddings on mismatch.
+
+    The converted CLIP towers carry a learned positional embedding over
+    [cls/mean token] + a square spatial grid (ViT patches at
+    image_size/patch; the RN50 attention pool at image_size/32).
+    Checkpoints are published at 224px; training at another resolution
+    (e.g. 96px STL10 in the ssl presets) changes the grid size, so the
+    spatial part is resampled bicubically — the standard fine-tuning
+    practice — while the lead token embedding is kept as-is. Applies only
+    when both sizes are 1 + g*g for integer g; anything else falls through
+    to the shape check's explicit error.
+    """
+    import math
+
+    init_flat = _flatten(jax.tree.map(np.asarray, init_tree))
+    out = _flatten(loaded_tree)
+    changed = False
+    for k, v in list(out.items()):
+        if not k.endswith("positional_embedding") or k not in init_flat:
+            continue
+        want = init_flat[k].shape
+        if (tuple(want) == tuple(v.shape) or v.ndim != 2 or len(want) != 2
+                or want[1] != v.shape[1]):
+            continue
+        g_src = math.isqrt(v.shape[0] - 1)
+        g_dst = math.isqrt(int(want[0]) - 1)
+        if g_src * g_src + 1 != v.shape[0] or g_dst * g_dst + 1 != want[0]:
+            continue
+        import jax.numpy as jnp
+
+        grid = jnp.asarray(v[1:].reshape(g_src, g_src, v.shape[1]),
+                           jnp.float32)
+        grid = jax.image.resize(grid, (g_dst, g_dst, v.shape[1]), "cubic")
+        out[k] = np.concatenate(
+            [v[:1], np.asarray(grid).reshape(g_dst * g_dst, v.shape[1])],
+            axis=0).astype(v.dtype)
+        changed = True
+    return _unflatten(out) if changed else loaded_tree
+
+
 def _check_shapes(init_tree: dict, loaded_tree: dict, where: str):
     """Every loaded leaf must match an initialized leaf's shape.
 
@@ -184,6 +225,7 @@ def load_pretrained_encoder(encoder_cfg, params: dict, batch_stats: dict,
             f"unrecognized pretrained checkpoint format: {p.suffix!r} "
             f"(expected .pt/.pth/.bin torch, .npz flax, or an orbax dir)")
 
+    mapper = _adapt_positional_embeddings(init_mapper, mapper)
     _check_shapes(init_mapper, mapper, "encoder (params/p_ZlX/mapper)")
     new_params = dict(params)
     new_params["p_ZlX"] = dict(params["p_ZlX"])

@@ -27,12 +27,9 @@ import numpy as np
 
 def _use_pallas_attention() -> bool:
     """Pallas fused attention on real TPU backends; einsum elsewhere."""
-    try:
-        import jax
+    from lossyless_tpu.nn.flash_attn import use_pallas_backend
 
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return use_pallas_backend()
 
 
 class MHSA(nn.Module):

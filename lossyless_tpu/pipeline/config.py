@@ -363,6 +363,8 @@ def preset(name: str) -> ExperimentConfig:
         cfg.encoder = dataclasses.replace(cfg.encoder, z_dim=1)
         cfg.distortion = DistortionConfig(mode="contrastive", project_dim=1,
                                           effective_batch_size=None)
+        # the script pins featurizer.loss.beta=0.6 (banana_viz_BINCE.sh:68)
+        cfg.loss = dataclasses.replace(cfg.loss, beta=0.6)
         return cfg
     if name in ("banana_viz_VIC_trnslt",):
         # bin/banana/banana_viz_VIC_trnslt.sh: translation equivalence
@@ -416,8 +418,10 @@ def preset(name: str) -> ExperimentConfig:
             distortion=DistortionConfig(mode="direct", data_mode="image",
                                         arch="balle",
                                         arch_kwargs=dict(hid_dim=64)),
-            online=OnlineEvalConfig(is_online=True,
-                                    arch_kwargs=dict(hid_dim=512)),
+            # the script disables the online probe (STL10_balle.sh:51 sets
+            # evaluation.featurizer.is_online=false) — it would be fully
+            # masked on the unlabeled featurizer split anyway
+            online=OnlineEvalConfig(is_online=False),
             # the script sweeps featurizer.loss.beta over 1e-8..1e-3
             # (STL10_balle.sh:57); the largest published point is the base
             loss=LossConfig(beta=1e-3),

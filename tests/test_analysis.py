@@ -169,3 +169,17 @@ def test_scatter_lines_symlog_axis(tmp_path):
     out = plot_scatter_lines(df, tmp_path / "s.png", x="beta", y="acc",
                              logbase_x="auto")
     assert out.exists()
+
+
+def test_plot_dataset_samples_smaller_than_n(tmp_path):
+    """A dataset with fewer samples than n plots what it has (the batch
+    iterator drops ragged tails, so n must be capped at len(dataset))."""
+    from lossyless_tpu.analysis.visualize import plot_dataset_samples
+    from lossyless_tpu.data.images import ImageDataset
+
+    ImageDataset._carve_fractions.clear()  # deliberate re-split (CLAUDE.md)
+    ds = ImageDataset("mnist", split="train", synthetic=True, synthetic_n=8,
+                      val_fraction=0.25)  # 6 train samples after the carve
+    ImageDataset._carve_fractions.clear()
+    out = plot_dataset_samples(ds, tmp_path / "small.png", n=16)
+    assert out.exists()

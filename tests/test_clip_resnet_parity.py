@@ -196,3 +196,35 @@ def test_registry_dispatches_clip_rn50():
     v = m.init(jax.random.key(0), jnp.zeros((2, 64, 64, 3)))
     z = m.apply(v, jnp.zeros((2, 64, 64, 3)))
     assert z.shape == (2, 1024)
+
+
+def test_positional_embedding_resampled_across_resolutions():
+    """A 224px-published pe grid loads into a smaller-resolution tower by
+    bicubic resampling of the spatial part (lead token kept verbatim)."""
+    from lossyless_tpu.nn.pretrained import _adapt_positional_embeddings
+
+    C = 8
+    g_src, g_dst = 7, 3
+    rng = np.random.default_rng(0)
+    pe = rng.normal(0, 1, (g_src * g_src + 1, C)).astype(np.float32)
+    init = {"attnpool": {"positional_embedding":
+                         np.zeros((g_dst * g_dst + 1, C), np.float32)}}
+    loaded = {"attnpool": {"positional_embedding": pe}}
+    out = _adapt_positional_embeddings(init, loaded)
+    got = out["attnpool"]["positional_embedding"]
+    assert got.shape == (g_dst * g_dst + 1, C)
+    np.testing.assert_array_equal(got[0], pe[0])  # lead token untouched
+    # a non-square token count falls through untouched (shape check errors)
+    bad = {"attnpool": {"positional_embedding": pe[:4]}}
+    assert _adapt_positional_embeddings(init, bad) is bad
+
+
+def test_attn_pool_vmem_block_limit():
+    """Wide fp32 kv blocks scale the Pallas grid block down to budget."""
+    from lossyless_tpu.nn.flash_attn import _vmem_block_limit
+
+    # ViT bf16 qkv: 50 tokens x 2304 x 2B ~ 230KB/img -> full 16 block
+    assert _vmem_block_limit(50 * 2304 * 2) == 16
+    # RN50 attention pool fp32 kv: 50 x 4096 x 4B ~ 819KB/img -> 5
+    assert _vmem_block_limit(50 * 4096 * 4) == 5
+    assert _vmem_block_limit(10 << 20) == 1  # never zero
