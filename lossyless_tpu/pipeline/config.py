@@ -84,12 +84,29 @@ class ExperimentConfig:
     online: OnlineEvalConfig = field(default_factory=OnlineEvalConfig)
     loss: LossConfig = field(default_factory=LossConfig)
 
+    # the reference's global optimizer defaults (config/main.yaml:17-22):
+    # AdamW lr 1e-3 (featurizer) / 3e-4 (coder, online), weight decay 1e-5,
+    # exponential lr decay by 100x over training (scheduler expdecay100);
+    # presets/CLI override per recipe. total_steps=0 -> span the planned
+    # training (bound at dataset-bind time, run.py).
     optimizer_feat: OptimConfig = field(
-        default_factory=lambda: OptimConfig(lr=3e-4))
+        default_factory=lambda: OptimConfig(mode="adamw", lr=1e-3,
+                                            weight_decay=1e-5,
+                                            scheduler="expdecay",
+                                            decay_factor=100.,
+                                            total_steps=0))
     optimizer_coder: OptimConfig = field(
-        default_factory=lambda: OptimConfig(lr=3e-4))
+        default_factory=lambda: OptimConfig(mode="adamw", lr=3e-4,
+                                            weight_decay=1e-5,
+                                            scheduler="expdecay",
+                                            decay_factor=100.,
+                                            total_steps=0))
     optimizer_online: OptimConfig = field(
-        default_factory=lambda: OptimConfig(lr=1e-3))
+        default_factory=lambda: OptimConfig(mode="adamw", lr=3e-4,
+                                            weight_decay=1e-5,
+                                            scheduler="expdecay",
+                                            decay_factor=100.,
+                                            total_steps=0))
 
     predictor: PredictorConfig = field(default_factory=PredictorConfig)
 
@@ -351,6 +368,16 @@ def preset(name: str) -> ExperimentConfig:
                                     arch_kwargs=dict(hid_dim=512)),
             loss=LossConfig(beta=0.05),
             frozen=("p_ZlX",),
+            # the reference recipe's optimizers: AdamW + uniform-multistep
+            # /1000 decay (bottleneck_clip_lossyZ.yaml optimizer_feat/coder)
+            optimizer_feat=OptimConfig(mode="adamw", lr=1e-3,
+                                       weight_decay=3e-8,
+                                       scheduler="unifmultistep",
+                                       decay_factor=1000., total_steps=0),
+            optimizer_coder=OptimConfig(mode="adamw", lr=3e-4,
+                                        weight_decay=1e-6,
+                                        scheduler="unifmultistep",
+                                        decay_factor=1000., total_steps=0),
         )
     if name in ("banana_viz_BINCE", "banana_bince"):
         # bin/banana/banana_viz_BINCE.sh: contrastive distortion on banana
@@ -456,6 +483,14 @@ def preset(name: str) -> ExperimentConfig:
             online=OnlineEvalConfig(is_online=False),
             loss=LossConfig(beta=0.05),
             frozen=("p_ZlX",),
+            optimizer_feat=OptimConfig(mode="adamw", lr=1e-3,
+                                       weight_decay=3e-8,
+                                       scheduler="unifmultistep",
+                                       decay_factor=1000., total_steps=0),
+            optimizer_coder=OptimConfig(mode="adamw", lr=3e-4,
+                                        weight_decay=1e-6,
+                                        scheduler="unifmultistep",
+                                        decay_factor=1000., total_steps=0),
         )
     if name in ("clip_hub",):
         # bin/clip/clip_hub.sh: train the three hub betas on COCO with

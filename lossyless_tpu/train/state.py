@@ -43,7 +43,9 @@ class OptimConfig:
 
 
 def _make_schedule(cfg: OptimConfig):
-    if cfg.scheduler == "none":
+    if cfg.scheduler == "none" or cfg.total_steps <= 0:
+        # total_steps 0 happens for eval-only runs (n_epochs=0) where the
+        # dataset bind has nothing to span: constant lr, nothing to decay
         return cfg.lr
     if cfg.scheduler == "expdecay":
         # decay lr by decay_factor over total_steps (helpers.py:492-550)
