@@ -23,7 +23,9 @@ from .images import DATA_DIR, ImageSpec
 IMAGENET_SPEC = ImageSpec("imagenet", (224, 224, 3), 1000,
                           ("hflip", "resize_crop", "color", "gray"))
 COCO_SPEC = ImageSpec("coco_captions", (224, 224, 3), 1)
-GALAXY_ZOO_SPEC = ImageSpec("galaxy_zoo", (128, 128, 3), 37, ("D4_group",))
+# the reference's galaxy equivalence set (config/data/galaxy.yaml:11)
+GALAXY_ZOO_SPEC = ImageSpec("galaxy_zoo", (128, 128, 3), 37,
+                            ("resize_crop", "D4_group", "color", "gray"))
 
 
 def _load_jpeg_batch(paths, size) -> np.ndarray:
@@ -190,13 +192,25 @@ class GalaxyZooDataset:
     split: str = "train"
     data_dir: Path = DATA_DIR
     additional_target: str | None = "target"
-    is_augment: bool = False  # augmentation left to the device pipeline
+    # equivalence augmentations applied on device per batch (None -> the
+    # spec's reference set); the pipeline passes is_augment=False for eval
+    equivalence: tuple | None = None
+    is_augment: bool = True
     synthetic: bool = False
     synthetic_n: int = 2048
     seed: int = 0
 
     def __post_init__(self):
         self.spec = GALAXY_ZOO_SPEC
+        if self.equivalence is None:
+            self.equivalence = self.spec.default_equivalence
+        self._augment = None
+        if self.equivalence:
+            import jax
+
+            from .augmentations import make_augmenter
+
+            self._augment = jax.jit(make_augmenter(self.equivalence))
         if self.split == "validation":  # no val split: fall back to train
             self.split = "train"
         root = Path(self.data_dir) / "galaxy"
@@ -240,19 +254,36 @@ class GalaxyZooDataset:
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
                 shuffle: bool = True, drop_last: bool = True):
+        import jax
+
         h, w, _ = self.spec.shape
         rng = np.random.default_rng(seed)
+        key = jax.random.key(seed)
         n = len(self)
-        as_input = self.additional_target in ("input", "representative")
+        at = self.additional_target
         for _ in range(n_epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)
             stop = n - batch_size + 1 if drop_last else n
             for i in range(0, stop, batch_size):
                 idx = order[i:i + batch_size]
                 if self.synthetic:
-                    x = self._synth_x[idx]
+                    raw = self._synth_x[idx]
                 else:
-                    x = _load_jpeg_batch([self.paths[j] for j in idx],
-                                         (h, w)).astype(np.float32) / 255.0
+                    raw = _load_jpeg_batch([self.paths[j] for j in idx],
+                                           (h, w)).astype(np.float32) / 255.0
                 y = self.targets[idx].astype(np.float32)
-                yield x, y, (x.copy() if as_input else y.copy())
+                if self._augment is not None and self.is_augment:
+                    key, k1 = jax.random.split(key)
+                    x = self._augment(k1, raw)
+                else:
+                    x = raw
+                # aux contract mirrors ImageDataset: "input" = the augmented
+                # view (reconstruction target), "representative" = the
+                # un-augmented base image, default = the regression targets
+                if at == "input":
+                    aux = x
+                elif at == "representative":
+                    aux = raw
+                else:
+                    aux = y.copy()
+                yield x, y, aux

@@ -186,8 +186,6 @@ def _eval_dataset(cfg: ExperimentConfig, data_cfg, split: str):
     distinct (utils/data/base.py:133-316). Banana is a generative
     distribution, so distinct splits are fresh samples under different seeds.
     """
-    from ..data.images import SPECS
-
     kwargs = dict(data_cfg.kwargs)
     if data_cfg.name == "banana":
         # fresh-sample eval sets are capped: the generative source's train
@@ -195,8 +193,9 @@ def _eval_dataset(cfg: ExperimentConfig, data_cfg, split: str):
         kwargs["length"] = min(kwargs.get("length", 20480), 20480)
         kwargs["seed"] = cfg.trainer.seed + (1 if split == "validation" else 2)
         return BananaDataset(**kwargs)
-    if data_cfg.name in SPECS or data_cfg.name == "stl10_unlabeled":
-        kwargs.setdefault("is_augment", False)
+    # eval splits see the deterministic view; every non-banana datamodule
+    # accepts the flag (it is a no-op for loaders without host augmentation)
+    kwargs.setdefault("is_augment", False)
     return get_datamodule(data_cfg.name, split=split, **kwargs)
 
 
