@@ -53,11 +53,23 @@ class StreamingImageFolder:
     split: str = "train"
     additional_target: str | None = "representative"
     data_dir: Path = DATA_DIR
-    is_augment: bool = False  # augmentation left to the device pipeline
+    # device-side equivalence augmentations for train batches (None -> the
+    # spec's set); the pipeline constructs eval splits with is_augment=False
+    equivalence: tuple | None = None
+    is_augment: bool = True
 
     def __post_init__(self):
         self.spec = IMAGENET_SPEC if self.name == "imagenet" \
             else dataclasses.replace(IMAGENET_SPEC, name=self.name)
+        if self.equivalence is None:
+            self.equivalence = self.spec.default_equivalence
+        self._augment = None
+        if self.equivalence:
+            import jax
+
+            from .augmentations import make_augmenter
+
+            self._augment = jax.jit(make_augmenter(self.equivalence))
         root = None
         if self.name == "imagenet":
             for cand in ("imagenet256", "imagenet"):
@@ -97,21 +109,31 @@ class StreamingImageFolder:
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
                 shuffle: bool = True, drop_last: bool = True):
+        import jax
+
         h, w, _ = self.spec.shape
         rng = np.random.default_rng(seed)
+        key = jax.random.key(seed)
         n = len(self)
         for _ in range(n_epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)
             stop = n - batch_size + 1 if drop_last else n
             for i in range(0, stop, batch_size):
                 idx = order[i:i + batch_size]
-                x = _load_jpeg_batch([self.paths[j] for j in idx],
-                                     (h, w)).astype(np.float32) / 255.0
+                raw = _load_jpeg_batch([self.paths[j] for j in idx],
+                                       (h, w)).astype(np.float32) / 255.0
+                if self._augment is not None and self.is_augment:
+                    key, k1 = jax.random.split(key)
+                    x = self._augment(k1, raw)
+                else:
+                    x = raw
                 y = self.targets[idx]
                 if self.additional_target == "target":
                     aux = y.astype(np.float32)
-                else:  # input / representative: the raw view
-                    aux = x
+                elif self.additional_target == "input":
+                    aux = x                      # the augmented view
+                else:  # representative: the un-augmented base image
+                    aux = raw
                 yield x, y, aux
 
 
@@ -128,10 +150,23 @@ class CocoClipDataset:
     split: str = "train"
     data_dir: Path = DATA_DIR
     additional_target: str | None = "equiv_x"
-    is_augment: bool = False  # augmentation left to the device pipeline
+    # Optional device-side equivalence augmentations (e.g. ("resize_crop",)).
+    # Default OFF: the reference's coco recipe augments with resize+crop —
+    # random 224px windows of the short-side-resized image — but ingestion
+    # here materializes the center 224px square, so the faithful default is
+    # the deterministic view; opt in via data_feat.kwargs.equivalence.
+    equivalence: tuple | None = None
+    is_augment: bool = True
 
     def __post_init__(self):
         self.spec = COCO_SPEC
+        self._augment = None
+        if self.equivalence:
+            import jax
+
+            from .augmentations import make_augmenter
+
+            self._augment = jax.jit(make_augmenter(self.equivalence))
         if self.split == "validation":  # no val split: fall back to train
             self.split = "train"        # (reference to_tfds_split, :855-860)
         split_dir = Path(self.data_dir) / "coco_captions" / self.split
@@ -161,8 +196,11 @@ class CocoClipDataset:
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
                 shuffle: bool = True, drop_last: bool = True):
+        import jax
+
         h, w, _ = self.spec.shape
         rng = np.random.default_rng(seed)
+        key = jax.random.key(seed)
         n = len(self)
         for _ in range(n_epochs):
             order = rng.permutation(n) if shuffle else np.arange(n)
@@ -171,6 +209,9 @@ class CocoClipDataset:
                 idx = order[i:i + batch_size]
                 x = _load_jpeg_batch([self.paths[j] for j in idx],
                                      (h, w)).astype(np.float32) / 255.0
+                if self._augment is not None and self.is_augment:
+                    key, k1 = jax.random.split(key)
+                    x = self._augment(k1, x)
                 aux = np.empty((len(idx), self.feat_dim), np.float32)
                 for r, j in enumerate(idx):
                     # derive the feature file from the IMAGE file's own
