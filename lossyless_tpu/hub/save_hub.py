@@ -37,7 +37,9 @@ def save_hub(params: dict, out_dir: str | Path, beta: float):
     np.savez(out / "factorized_rate.npz", **flat)
     try:
         import torch
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+        # .copy() also makes the buffer writable: torch warns on (and may
+        # misbehave with) tensors over read-only numpy views (jax exports)
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
                     for k, v in flat.items()},
                    out / "factorized_rate.pt")
     except ImportError:
