@@ -22,7 +22,7 @@ import numpy as np
 from lossyless_tpu.compressors.compressor import LearnableCompressor
 from lossyless_tpu.data.banana import device_sample_batch
 from lossyless_tpu.pipeline.config import preset
-from lossyless_tpu.train.state import (TrainState, eval_step,
+from lossyless_tpu.train.state import (TrainState, bind_schedule_steps, eval_step,
                                        make_generative_epoch)
 
 
@@ -40,9 +40,12 @@ def main(mode="VIC", n_epochs=100, batch_size=1024, steps_per_epoch=1000):
     model = LearnableCompressor(cfg.compressor_config())
     sample = jax.tree.map(np.asarray, sample_fn(jax.random.key(0)))
     state = TrainState.create(model, sample, jax.random.key(cfg.trainer.seed),
-                              main=cfg.optimizer_feat,
-                              online=cfg.optimizer_online,
-                              coder=cfg.optimizer_coder)
+                              main=bind_schedule_steps(
+                                  cfg.optimizer_feat, n_epochs * steps_per_epoch),
+                              online=bind_schedule_steps(
+                                  cfg.optimizer_online, n_epochs * steps_per_epoch),
+                              coder=bind_schedule_steps(
+                                  cfg.optimizer_coder, n_epochs * steps_per_epoch))
     epoch_fn = make_generative_epoch(sample_fn, steps_per_epoch)
 
     t0 = time.time()

@@ -25,7 +25,7 @@ from lossyless_tpu.data.images import ImageDataset
 from lossyless_tpu.pipeline.config import preset
 from lossyless_tpu.pipeline.predictor import PredictorTrainer, featurize_dataset
 from lossyless_tpu.train.metrics import MetricAccumulator
-from lossyless_tpu.train.state import (TrainState, eval_step,
+from lossyless_tpu.train.state import (TrainState, bind_schedule_steps, eval_step,
                                        make_generative_epoch)
 
 
@@ -46,9 +46,12 @@ def main(n_epochs=20, steps_per_epoch=200, batch_size=256):
     model = LearnableCompressor(cfg.compressor_config())
     sample = jax.tree.map(np.asarray, sample_fn(jax.random.key(0)))
     state = TrainState.create(model, sample, jax.random.key(123),
-                              main=cfg.optimizer_feat,
-                              online=cfg.optimizer_online,
-                              coder=cfg.optimizer_coder)
+                              main=bind_schedule_steps(
+                                  cfg.optimizer_feat, n_epochs * steps_per_epoch),
+                              online=bind_schedule_steps(
+                                  cfg.optimizer_online, n_epochs * steps_per_epoch),
+                              coder=bind_schedule_steps(
+                                  cfg.optimizer_coder, n_epochs * steps_per_epoch))
     epoch_fn = make_generative_epoch(sample_fn, steps_per_epoch)
 
     t0 = time.time()

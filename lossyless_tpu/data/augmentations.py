@@ -251,3 +251,16 @@ def make_augmenter(equivalence: Sequence[str]):
 
 def available_augmentations():
     return sorted(set(_REGISTRY) | set(_AFFINE_PARAMS))
+
+
+def build_augmenter(equivalence):
+    """Jitted batch augmenter for an equivalence tuple (falsy -> None).
+
+    One constructor for every datamodule (ImageDataset and the external
+    loaders) so default resolution / jit wrapping stay in one place.
+    """
+    if not equivalence:
+        return None
+    import jax
+
+    return jax.jit(make_augmenter(tuple(equivalence)))

@@ -63,13 +63,9 @@ class StreamingImageFolder:
             else dataclasses.replace(IMAGENET_SPEC, name=self.name)
         if self.equivalence is None:
             self.equivalence = self.spec.default_equivalence
-        self._augment = None
-        if self.equivalence:
-            import jax
+        from .augmentations import build_augmenter
 
-            from .augmentations import make_augmenter
-
-            self._augment = jax.jit(make_augmenter(self.equivalence))
+        self._augment = build_augmenter(self.equivalence)
         root = None
         if self.name == "imagenet":
             for cand in ("imagenet256", "imagenet"):
@@ -128,12 +124,21 @@ class StreamingImageFolder:
                 else:
                     x = raw
                 y = self.targets[idx]
-                if self.additional_target == "target":
+                at = self.additional_target
+                if at in ("target", None):
                     aux = y.astype(np.float32)
-                elif self.additional_target == "input":
+                elif at == "input":
                     aux = x                      # the augmented view
-                else:  # representative: the un-augmented base image
-                    aux = raw
+                elif at == "representative":
+                    aux = raw                    # un-augmented base image
+                elif at == "equiv_x":
+                    # an independent second draw from the equivalence class
+                    key, k2 = jax.random.split(key)
+                    aux = (self._augment(k2, raw)
+                           if self._augment is not None and self.is_augment
+                           else raw)
+                else:
+                    raise ValueError(f"unknown additional_target={at}")
                 yield x, y, aux
 
 
@@ -160,13 +165,9 @@ class CocoClipDataset:
 
     def __post_init__(self):
         self.spec = COCO_SPEC
-        self._augment = None
-        if self.equivalence:
-            import jax
+        from .augmentations import build_augmenter
 
-            from .augmentations import make_augmenter
-
-            self._augment = jax.jit(make_augmenter(self.equivalence))
+        self._augment = build_augmenter(self.equivalence)
         if self.split == "validation":  # no val split: fall back to train
             self.split = "train"        # (reference to_tfds_split, :855-860)
         split_dir = Path(self.data_dir) / "coco_captions" / self.split
@@ -245,13 +246,9 @@ class GalaxyZooDataset:
         self.spec = GALAXY_ZOO_SPEC
         if self.equivalence is None:
             self.equivalence = self.spec.default_equivalence
-        self._augment = None
-        if self.equivalence:
-            import jax
+        from .augmentations import build_augmenter
 
-            from .augmentations import make_augmenter
-
-            self._augment = jax.jit(make_augmenter(self.equivalence))
+        self._augment = build_augmenter(self.equivalence)
         if self.split == "validation":  # no val split: fall back to train
             self.split = "train"
         root = Path(self.data_dir) / "galaxy"
@@ -286,10 +283,11 @@ class GalaxyZooDataset:
 
     @property
     def aux_shape(self):
-        # "input"/"representative" pair each image with itself (VAE/VIC
-        # reconstruction, the neurips-final galaxy recipe); the default
-        # "target" yields the 37 regression probabilities
-        if self.additional_target in ("input", "representative"):
+        # image-valued aux: "input"/"representative" (VAE/VIC
+        # reconstruction, the neurips-final galaxy recipe) and "equiv_x"
+        # (a second augmented view); the default "target" yields the 37
+        # regression probabilities
+        if self.additional_target in ("input", "representative", "equiv_x"):
             return self.spec.shape
         return 37
 
@@ -318,13 +316,22 @@ class GalaxyZooDataset:
                     x = self._augment(k1, raw)
                 else:
                     x = raw
-                # aux contract mirrors ImageDataset: "input" = the augmented
-                # view (reconstruction target), "representative" = the
-                # un-augmented base image, default = the regression targets
+                # aux contract mirrors ImageDataset (images.py:377-397):
+                # "input" = the augmented view (reconstruction target),
+                # "representative" = the un-augmented base image,
+                # "equiv_x" = an INDEPENDENT second augmented draw
+                # (contrastive positive), target/None = regression targets
                 if at == "input":
                     aux = x
                 elif at == "representative":
                     aux = raw
-                else:
+                elif at == "equiv_x":
+                    key, k2 = jax.random.split(key)
+                    aux = (self._augment(k2, raw)
+                           if self._augment is not None and self.is_augment
+                           else raw)
+                elif at in ("target", None):
                     aux = y.copy()
+                else:
+                    raise ValueError(f"unknown additional_target={at}")
                 yield x, y, aux

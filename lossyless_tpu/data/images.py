@@ -241,8 +241,9 @@ class ImageDataset:
                 reg_key = (self.name, self.train_split or "train",
                            str(self.data_dir))
                 ImageDataset._carve_fractions.setdefault(reg_key, 0.0)
-        self._augment = jax.jit(make_augmenter(self.equivalence)) \
-            if self.equivalence else None
+        from .augmentations import build_augmenter
+
+        self._augment = build_augmenter(self.equivalence)
         self._label_augment = None
         if self.label_equivalence is not None:
             from .label_augment import EquivariantRandomResizedCrop

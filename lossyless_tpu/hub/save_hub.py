@@ -37,9 +37,9 @@ def save_hub(params: dict, out_dir: str | Path, beta: float):
     np.savez(out / "factorized_rate.npz", **flat)
     try:
         import torch
-        # .copy() also makes the buffer writable: torch warns on (and may
-        # misbehave with) tensors over read-only numpy views (jax exports)
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
+        # np.array gives a fresh writable C-contiguous buffer in one copy:
+        # torch warns on tensors over read-only numpy views (jax exports)
+        torch.save({k: torch.from_numpy(np.array(v))
                     for k, v in flat.items()},
                    out / "factorized_rate.pt")
     except ImportError:

@@ -38,7 +38,7 @@ from ..train.checkpoints import (CheckpointManager, is_stage_done,
 from ..train.loggers import get_logger
 from ..train.metrics import (MetricAccumulator, namespaced,
                              write_results_csv)
-from ..train.state import TrainState, train_step
+from ..train.state import TrainState, bind_schedule_steps, train_step
 
 
 def _git_hash() -> str:
@@ -284,17 +284,12 @@ def run_featurizer(cfg: ExperimentConfig):
             warmup_steps=cfg.rate.warmup_k_epochs * steps_per_epoch)
     model = LearnableCompressor(cfg.compressor_config())
 
-    def _fill_steps(oc):
-        # schedulers declared with total_steps<=0 span the planned training
-        # (reference: scheduler epochs interpolate ${trainer.max_epochs})
-        if oc.scheduler != "none" and oc.total_steps <= 0:
-            return dataclasses.replace(
-                oc, total_steps=steps_per_epoch * cfg.data_feat.n_epochs)
-        return oc
-
-    opt_feat = _fill_steps(cfg.optimizer_feat)
-    opt_online = _fill_steps(cfg.optimizer_online)
-    opt_coder = _fill_steps(cfg.optimizer_coder)
+    # schedulers declared with total_steps<=0 span the planned training
+    # (reference: scheduler epochs interpolate ${trainer.max_epochs})
+    total = steps_per_epoch * cfg.data_feat.n_epochs
+    opt_feat = bind_schedule_steps(cfg.optimizer_feat, total)
+    opt_online = bind_schedule_steps(cfg.optimizer_online, total)
+    opt_coder = bind_schedule_steps(cfg.optimizer_coder, total)
 
     sample = next(train_ds.batches(min(bsz, len(train_ds)),
                                    seed=cfg.trainer.seed))

@@ -44,8 +44,11 @@ class OptimConfig:
 
 def _make_schedule(cfg: OptimConfig):
     if cfg.scheduler == "none" or cfg.total_steps <= 0:
-        # total_steps 0 happens for eval-only runs (n_epochs=0) where the
-        # dataset bind has nothing to span: constant lr, nothing to decay
+        # total_steps<=0 = an unbound schedule: eval-only runs (n_epochs=0)
+        # where nothing trains, or a direct TrainState consumer that didn't
+        # bind steps — constant lr. Pipeline runs always bind via
+        # run.py::_fill_steps; standalone scripts must do the same to get
+        # the declared decay (bin/*_repro.py do).
         return cfg.lr
     if cfg.scheduler == "expdecay":
         # decay lr by decay_factor over total_steps (helpers.py:492-550)
@@ -55,10 +58,26 @@ def _make_schedule(cfg: OptimConfig):
     if cfg.scheduler == "unifmultistep":
         k = cfg.k_steps
         gamma = (1.0 / cfg.decay_factor) ** (1.0 / k)
-        delta = cfg.total_steps // (k + 1)
+        # max(1,): with total_steps < k+1 the milestones would all collapse
+        # to boundary 0 (dict key dedupe) and scale the lr from step 0
+        delta = max(1, cfg.total_steps // (k + 1))
         return optax.piecewise_constant_schedule(
             cfg.lr, {delta * i: gamma for i in range(1, k + 1)})
     raise ValueError(f"unknown scheduler {cfg.scheduler}")
+
+
+def bind_schedule_steps(cfg: OptimConfig, total_steps: int) -> OptimConfig:
+    """Fill an unbound schedule (total_steps<=0) with the planned step count.
+
+    Schedulers are declared span-relative (the reference interpolates
+    ${trainer.max_epochs}); the pipeline binds them at dataset-bind time
+    (run.py) and standalone scripts must bind them too or the schedule
+    degrades to constant lr (_make_schedule)."""
+    import dataclasses
+
+    if cfg.scheduler != "none" and cfg.total_steps <= 0:
+        return dataclasses.replace(cfg, total_steps=max(0, total_steps))
+    return cfg
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:

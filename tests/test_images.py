@@ -370,3 +370,25 @@ def test_online_evaluator_masks_unlabeled():
     loss_unl, logs_unl = m.apply(v, z, jnp.full((6,), -1))
     assert float(loss_unl) == 0.0
     assert float(logs_unl["online_acc"]) == 0.0
+
+
+def test_external_equiv_x_contract():
+    """External datamodules: equiv_x = an INDEPENDENT second augmented
+    view (image-shaped), never the regression/class targets; unknown
+    additional_target values raise like ImageDataset."""
+    import pytest as _pytest
+
+    from lossyless_tpu.data.external import GalaxyZooDataset
+
+    ds = GalaxyZooDataset(synthetic=True, synthetic_n=32,
+                          additional_target="equiv_x")
+    x, y, aux = next(ds.batches(8, seed=0))
+    assert np.asarray(aux).shape == np.asarray(x).shape  # image, not (8,37)
+    assert ds.aux_shape == ds.spec.shape
+    # the two views are different draws
+    assert float(np.abs(np.asarray(aux) - np.asarray(x)).max()) > 1e-6
+
+    bad = GalaxyZooDataset(synthetic=True, synthetic_n=32,
+                           additional_target="nope")
+    with _pytest.raises(ValueError, match="additional_target"):
+        next(bad.batches(8, seed=0))
