@@ -247,9 +247,11 @@ class VisionTransformer(nn.Module):
     # row (queries/MLP for token 0 alone; K/V still over all tokens) since
     # ln_post reads x[:, 0] exclusively. EXACT same arithmetic — the skipped
     # rows feed nothing — worth ~7% of the tower's FLOPs. Parameter tree and
-    # converted weights are unchanged; off by default for parity-shaped
-    # intermediate activations.
-    cls_only_last: bool = False
+    # converted weights are unchanged. On by default since the device A/B
+    # (bin/device_step_bench.py b512 vs cls_last: 35.4 -> 33.5 ms/512 mean,
+    # 32.1 -> 27.6 ms min on v5e) confirmed the win; set False only to
+    # inspect parity-shaped intermediate activations of the last block.
+    cls_only_last: bool = True
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):

@@ -234,7 +234,7 @@ def test_cls_only_last_matches_full_tower():
     """
     kw = dict(patch_size=32, width=64, layers=2, heads=2, out_dim=32,
               dtype=jnp.float32, attn_impl="einsum")
-    m_full = VisionTransformer(**kw)
+    m_full = VisionTransformer(cls_only_last=False, **kw)
     m_cls = VisionTransformer(cls_only_last=True, **kw)
     x = jax.random.normal(jax.random.key(0), (3, 224, 224, 3))
     v = m_full.init(jax.random.key(1), x)
