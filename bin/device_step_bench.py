@@ -7,9 +7,11 @@ batch size) against the ~23 ms pure-matmul bound at batch 512
 (197 TFLOP/s bf16 on v5e).
 
 Usage: python bin/device_step_bench.py [--variants v1,v2,...]
-Variants: b512 (default config), b1024, b256, einsum (XLA attention),
-mlp_pallas (fused MLP half-block), ln_bf16, cls_last (class-token-only
-final block), attn_g8/attn_g32 (attention kernel block-size sweep).
+Variants: b512 (default config: cls-only-last ON, matching
+VisionTransformer's default), b1024, b256, einsum (XLA attention),
+mlp_pallas (fused MLP half-block), ln_bf16, full_last (class-token-only
+final block OFF, the pre-round-3 default), attn_g8/attn_g32 (attention
+kernel block-size sweep).
 """
 
 from __future__ import annotations
@@ -28,8 +30,11 @@ import jax.numpy as jnp
 
 def run_variant(name: str, batch: int, attn_impl: str = "auto",
                 mlp_impl: str = "xla", ln_dtype: str = "float32",
-                cls_only_last: bool = False, attn_block: int | None = None,
+                cls_only_last: bool = True, attn_block: int | None = None,
                 reps: int = 12) -> dict:
+    # cls_only_last defaults True to match VisionTransformer's framework
+    # default, so 'b512' benchmarks the actual default config; use the
+    # 'full_last' variant for the pre-flip A/B.
     from lossyless_tpu.coding import entropy_bottleneck as eb
     from lossyless_tpu.hub.load_reference import load_factorized_rate
     from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, VisionTransformer
@@ -98,7 +103,10 @@ VARIANTS = {
     "einsum": dict(batch=512, attn_impl="einsum"),
     "mlp_pallas": dict(batch=512, mlp_impl="pallas"),
     "ln_bf16": dict(batch=512, ln_dtype="bfloat16"),
-    # class-token-only last block (exact numerics, ~7% fewer FLOPs)
+    # full final block (cls_only_last=False): the pre-round-3 default,
+    # kept for A/B against the class-token-only default
+    "full_last": dict(batch=512, cls_only_last=False),
+    # alias retained for older PERF.md commands; now same as b512
     "cls_last": dict(batch=512, cls_only_last=True),
     # attention-kernel images-per-grid-step sweep (default 16)
     "attn_g8": dict(batch=512, attn_block=8),

@@ -245,8 +245,13 @@ class VisionTransformer(nn.Module):
     ln_dtype: Any = jnp.float32
     # Encode-path shortcut: the final block computes only the class token's
     # row (queries/MLP for token 0 alone; K/V still over all tokens) since
-    # ln_post reads x[:, 0] exclusively. EXACT same arithmetic — the skipped
-    # rows feed nothing — worth ~7% of the tower's FLOPs. Parameter tree and
+    # ln_post reads x[:, 0] exclusively. Mathematically identical — the
+    # skipped rows feed nothing — but the cls-only path uses a different
+    # lowering (sliced qkv matmul, 1-row einsum/Pallas dot), so outputs are
+    # float-tolerance equivalent (~1e-5), not bit-equal; re-encoding the
+    # same images across the default flip is not guaranteed byte-identical
+    # (decode of existing streams is unaffected — z is stored directly).
+    # Worth ~7% of the tower's FLOPs. Parameter tree and
     # converted weights are unchanged. On by default since the device A/B
     # (bin/device_step_bench.py b512 vs cls_last: 35.4 -> 33.5 ms/512 mean,
     # 32.1 -> 27.6 ms min on v5e) confirmed the win; set False only to
