@@ -18,6 +18,75 @@ from PIL import Image
 
 from ..train.metrics import MetricAccumulator, namespaced
 
+# ---------------------------------------------------------------------------
+# MS-SSIM (Wang, Simoncelli & Bovik 2003) — the second distortion metric the
+# reference logs for classical baselines (classical_compressors.py:20-26 via
+# compressai.utils.bench.codecs). Pure numpy, pytorch-msssim conventions:
+# 11-tap gaussian (sigma 1.5), valid-mode windows, 2x average-pool between
+# scales, standard 5-scale weights. Images too small for 5 scales (an 11-tap
+# window needs >=11 px at the coarsest scale) use the largest feasible scale
+# count with renormalized weights.
+# ---------------------------------------------------------------------------
+
+_MSSSIM_WEIGHTS = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    k = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return k / k.sum()
+
+
+def _filter2(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable valid-mode gaussian filter over the H, W axes of NHWC."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    v = sliding_window_view(x, len(k), axis=1)
+    x = np.einsum("bhwct,t->bhwc", v, k)
+    v = sliding_window_view(x, len(k), axis=2)
+    return np.einsum("bhwct,t->bhwc", v, k)
+
+
+def _avg_pool2(x: np.ndarray) -> np.ndarray:
+    b, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2]
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def ms_ssim(x: np.ndarray, y: np.ndarray, data_range: float = 1.0) -> float:
+    """Multi-scale SSIM between NHWC batches (higher is better, max 1.0)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if x.shape != y.shape or x.ndim != 4:
+        raise ValueError(f"expected equal NHWC shapes, got {x.shape} {y.shape}")
+    win = 11
+    # coarsest scale must still fit one valid 11-tap window
+    max_scales = 1 + int(np.floor(np.log2(min(x.shape[1], x.shape[2]) / win)))
+    n_scales = int(np.clip(max_scales, 1, len(_MSSSIM_WEIGHTS)))
+    weights = _MSSSIM_WEIGHTS[:n_scales] / _MSSSIM_WEIGHTS[:n_scales].sum() \
+        if n_scales < len(_MSSSIM_WEIGHTS) else _MSSSIM_WEIGHTS
+
+    k = _gaussian_kernel(win)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    vals = []
+    for i in range(n_scales):
+        mu1, mu2 = _filter2(x, k), _filter2(y, k)
+        s11 = _filter2(x * x, k) - mu1 * mu1
+        s22 = _filter2(y * y, k) - mu2 * mu2
+        s12 = _filter2(x * y, k) - mu1 * mu2
+        cs = (2 * s12 + c2) / (s11 + s22 + c2)
+        if i == n_scales - 1:
+            lum = (2 * mu1 * mu2 + c1) / (mu1 * mu1 + mu2 * mu2 + c1)
+            vals.append(float((lum * cs).mean()))
+        else:
+            vals.append(float(cs.mean()))
+            x, y = _avg_pool2(x), _avg_pool2(y)
+    # negative contrast terms (possible on pathological inputs) are clamped
+    # so the weighted geometric mean stays real, as pytorch-msssim does
+    vals = np.maximum(np.asarray(vals), 0.0)
+    return float(np.prod(vals ** weights))
+
 
 @dataclasses.dataclass
 class ClassicalCompressor:
@@ -85,6 +154,7 @@ class ClassicalCompressor:
             "bpp": 8.0 * n_bytes / (b * h * w),
             "mse": mse,
             "psnr": psnr,
+            "ms_ssim": ms_ssim(xf, xhf),
             "distortion": mse,
             "rate": 8.0 * n_bytes / b,
             "compress_time": t_enc / b,

@@ -24,8 +24,50 @@ def test_classical_codecs(mode):
     if mode in ("png", "identity"):  # lossless
         np.testing.assert_array_equal(x_hat, x)
         assert logs["mse"] == 0
+        assert logs["ms_ssim"] == pytest.approx(1.0)
     else:
         assert logs["psnr"] > 20
+        assert 0.5 < logs["ms_ssim"] <= 1.0
+
+
+def test_ms_ssim_analytic_pin():
+    """Pin against the closed form: constant images differing by a shift.
+
+    All variances/covariances vanish, so every contrast-structure term is
+    exactly 1 and MS-SSIM reduces to the luminance term at the last scale,
+    l = (2*m1*m2 + C1)/(m1^2 + m2^2 + C1), raised to the last weight.
+    """
+    from lossyless_tpu.compressors.classical import _MSSSIM_WEIGHTS, ms_ssim
+
+    x = np.full((1, 224, 224, 3), 0.5)
+    y = np.full((1, 224, 224, 3), 0.6)
+    c1 = 0.01 ** 2
+    lum = (2 * 0.5 * 0.6 + c1) / (0.5 ** 2 + 0.6 ** 2 + c1)
+    expected = lum ** _MSSSIM_WEIGHTS[-1]
+    assert ms_ssim(x, y) == pytest.approx(expected, rel=1e-9)
+    assert ms_ssim(x, x) == pytest.approx(1.0)
+
+
+def test_ms_ssim_orders_jpeg_quality():
+    """Higher JPEG quality must score a higher MS-SSIM (and small 32px
+    images exercise the reduced-scale path: only 1 scale fits 11-tap
+    windows below 88px)."""
+    rng = np.random.default_rng(0)
+    yy, xx = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+    base = ((yy * xx) % 251).astype(np.uint8)
+    x = np.stack([np.stack([base, base.T, np.roll(base, 7)], -1)] * 2)
+    scores = {}
+    for q in (10, 95):
+        _, logs = ClassicalCompressor(mode="jpeg", quality=q).batch_run(x)
+        scores[q] = logs["ms_ssim"]
+    assert 0.0 < scores[10] < scores[95] <= 1.0
+
+    from lossyless_tpu.compressors.classical import ms_ssim
+
+    small = x[:, :32, :32].astype(np.float64) / 255.0
+    noisy = np.clip(small + rng.normal(0, 0.05, small.shape), 0, 1)
+    v = ms_ssim(small, noisy)
+    assert 0.0 < v < 1.0
 
 
 def test_aggregator_roundtrip(tmp_path):
