@@ -36,6 +36,7 @@ import numpy as np
 # serialization wedges the axon TPU backend (client hangs, blocks the chip).
 
 BASELINE_IMG_PER_SEC = 347.82  # reference STL10 encode (README.md:53)
+DECODE_BASELINE = 1062.38      # reference unbatched CPU decode (README.md:66)
 
 import os as _os
 
@@ -164,50 +165,76 @@ def main():
     codec.encode_batch(warm_syms, indexes)
 
     n_imgs = BATCH * N_BATCHES
-    pool = ThreadPoolExecutor(max_workers=1)
 
-    # steady-state pipeline: keep TWO dispatches in flight so readback +
-    # host coding overlap device compute with no bubble between windows
-    # (depth 1 leaves a dispatch gap; measured ~10% of throughput).
-    REPS = 8
-    DEPTH = 2
-    marks = [time.time()]
-    inflight = [fn(params, data, r) for r in range(DEPTH)]
-    streams = []
-    pending = None
-    overflows = []
-    for rep in range(REPS):
-        syms, over = inflight.pop(0)
-        nxt = rep + DEPTH
-        if nxt < REPS:
-            inflight.append(fn(params, data, nxt))  # async next dispatch
-        # exactly REPS dispatches total: every result is consumed (the
-        # tail windows drain the pipeline; the IQM gap statistic below
-        # already discards the extreme windows)
-        host_syms = np.asarray(syms).reshape(-1, 512).astype(np.int32)
-        overflows.append(over)  # asserted after timing (device scalar)
-        # hold the PREVIOUS window's coding future across the next
-        # readback so host rANS genuinely overlaps device readback —
-        # same double-buffering as hub compress_dataset
-        if pending is not None:
-            streams = pending.result()
-        pending = pool.submit(codec.encode_batch, host_syms, indexes)
-        marks.append(time.time())
-    streams = pending.result()
-    pool.shutdown()
-    # every timed window's int8 narrowing was lossless, not just the warm
-    # window's (different XOR salts produce different symbols)
-    assert sum(int(o) for o in overflows) == 0, "int8 symbol overflow"
-    # interquartile-mean inter-completion gap: robust to transient tunnel
-    # stalls (which blow up the mean) AND to completion bunching under
-    # pipelining (which makes the median/min optimistic)
-    gaps = sorted(b - a for a, b in zip(marks, marks[1:]))
-    q = len(gaps) // 4
-    mid = gaps[q:len(gaps) - q]
-    best = sum(mid) / len(mid)
+    def measure_run(salt_base: int):
+        """One full measurement run: REPS pipelined windows, IQM gap stat.
 
+        Returns (img_per_sec, streams, last window's host symbols).
+        """
+        pool = ThreadPoolExecutor(max_workers=1)
+        # steady-state pipeline: keep TWO dispatches in flight so readback +
+        # host coding overlap device compute with no bubble between windows
+        # (depth 1 leaves a dispatch gap; measured ~10% of throughput).
+        REPS = 8
+        DEPTH = 2
+        marks = [time.time()]
+        inflight = [fn(params, data, salt_base + r) for r in range(DEPTH)]
+        streams = []
+        host_syms = None
+        pending = None
+        overflows = []
+        for rep in range(REPS):
+            syms, over = inflight.pop(0)
+            nxt = rep + DEPTH
+            if nxt < REPS:
+                inflight.append(fn(params, data, salt_base + nxt))
+            # exactly REPS dispatches total: every result is consumed (the
+            # tail windows drain the pipeline; the IQM gap statistic below
+            # already discards the extreme windows)
+            host_syms = np.asarray(syms).reshape(-1, 512).astype(np.int32)
+            overflows.append(over)  # asserted after timing (device scalar)
+            # hold the PREVIOUS window's coding future across the next
+            # readback so host rANS genuinely overlaps device readback —
+            # same double-buffering as hub compress_dataset
+            if pending is not None:
+                streams = pending.result()
+            pending = pool.submit(codec.encode_batch, host_syms, indexes)
+            marks.append(time.time())
+        streams = pending.result()
+        pool.shutdown()
+        # every timed window's int8 narrowing was lossless, not just the
+        # warm window's (different XOR salts produce different symbols)
+        assert sum(int(o) for o in overflows) == 0, "int8 symbol overflow"
+        # interquartile-mean inter-completion gap: robust to transient
+        # tunnel stalls (which blow up the mean) AND to completion bunching
+        # under pipelining (which makes the median/min optimistic)
+        gaps = sorted(b - a for a, b in zip(marks, marks[1:]))
+        q = len(gaps) // 4
+        mid = gaps[q:len(gaps) - q]
+        return n_imgs / (sum(mid) / len(mid)), streams, host_syms
+
+    # stability protocol: K independent runs, report the MEDIAN-of-runs as
+    # the headline plus the spread — session-to-session chip/tunnel state
+    # moves single readings by up to ~20% (PERF.md "Throughput variance"),
+    # so a lone IQM window is not interpretable round-over-round.
+    RUNS = int(_os.environ.get("BENCH_RUNS", 3))
+    runs = [measure_run(100 * (i + 1)) for i in range(RUNS)]
+    rates = sorted(r[0] for r in runs)
+    img_per_sec = rates[len(rates) // 2] if RUNS % 2 else \
+        0.5 * (rates[RUNS // 2 - 1] + rates[RUNS // 2])
+    streams, last_syms = runs[-1][1], runs[-1][2]
     bits = 8 * np.mean([len(s) for s in streams])
-    img_per_sec = n_imgs / best
+
+    # decode throughput (host-side threaded batch rANS; reference baseline
+    # decodes 1062.38 img/s unbatched on CPU — README.md:66). streams holds
+    # one full window (n_imgs messages); warm small, then time the window.
+    codec.decode_batch(streams[:256], indexes)
+    t0 = time.time()
+    decoded = codec.decode_batch(streams, indexes)
+    decode_img_per_sec = len(streams) / (time.time() - t0)
+    # roundtrip correctness on the timed path: decoded symbols must equal
+    # the last window's device symbols exactly
+    assert np.array_equal(decoded, last_syms), "decode roundtrip mismatch"
 
     # device capacity: same program, but only the scalar overflow counter
     # leaves the device — no 4MB symbol readback per window, so the number
@@ -231,8 +258,16 @@ def main():
         "value": round(img_per_sec, 2),
         "unit": "img/sec/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "value_spread": [round(rates[0], 2), round(rates[-1], 2)],
+        "runs": RUNS,
         "input": "device_resident",
+        # the tower runs RANDOM weights (no egress): throughput is valid,
+        # the coded rate is NOT the published 1506.5 figure — see
+        # RATE_PARITY.json for the published-model rate evidence
         "bits_per_img": round(bits, 2),
+        "rate_is_synthetic": True,
+        "decode_img_per_sec": round(decode_img_per_sec, 2),
+        "decode_vs_baseline": round(decode_img_per_sec / DECODE_BASELINE, 3),
         "device_capacity_img_per_sec": round(device_capacity, 2),
     }))
 
@@ -289,6 +324,7 @@ def main_host_fed():
         "input": "host_resident_uint8_96px",
         "bits_per_img": round(rate, 2),
         "decode_img_per_sec": round(n_imgs / dec_wall, 2),
+        "decode_vs_baseline": round((n_imgs / dec_wall) / DECODE_BASELINE, 3),
         "backend": backend,
         "transfer_bound_tunnel": backend == "tpu",
     }))

@@ -631,6 +631,24 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
                                           balancing_weights=weights),
                          "test", "pred")
     metrics["data_pred"] = data_cfg.name
+    if data_cfg.name.startswith("galaxy"):
+        # the reference's predictor stage emits the galaxy-zoo kaggle
+        # submission automatically (main.py:750-825): predict the held-out
+        # split in DATASET order (the metrics pass above shuffles) and
+        # write the CSV next to results_predictor.csv
+        from ..analysis.kaggle import write_kaggle_submission
+
+        z_sub, _ = featurize_dataset(
+            feat_fn, pred_val.batches(bsz, n_epochs=1, seed=0,
+                                      shuffle=False, drop_last=False),
+            pad_to=bsz)
+        preds = trainer.predict(z_sub)
+        ids = getattr(pred_val, "ids", None)
+        if ids is None:  # synthetic/no-egress fallback: positional ids
+            ids = np.arange(len(preds)) + 1
+        sub_path = write_kaggle_submission(
+            ids, preds, stage_dir / "kaggle_submission.csv")
+        metrics["kaggle_submission"] = str(sub_path)
     write_results_csv(stage_dir, "predictor", metrics)
     mark_stage_done(stage_dir, "predictor")
     return metrics

@@ -41,6 +41,34 @@ def test_regression_predictor_and_kaggle_submission(tmp_path):
         write_kaggle_submission(ids, preds[:, :10], tmp_path / "bad.csv")
 
 
+@pytest.mark.slow
+def test_galaxy_pipeline_emits_submission(tmp_path):
+    """The predictor stage writes the kaggle submission automatically for
+    galaxy runs (reference main.py:750-825), next to results_predictor.csv."""
+    from pathlib import Path
+
+    from lossyless_tpu.cli import main
+
+    metrics = main([
+        "galaxy_regression", "data_feat.n_epochs=1", "predictor.n_epochs=2",
+        "data_feat.kwargs.synthetic_n=192", "data_pred.kwargs.synthetic_n=192",
+        "data_feat.batch_size=64", "data_pred.batch_size=64",
+        "is_skip_comm=True", "trainer.log_every=0",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ])
+    assert "kaggle_submission" in metrics
+    subs = list(Path(tmp_path, "results").rglob("kaggle_submission.csv"))
+    assert len(subs) == 1
+    rows = list(csv.reader(subs[0].open()))
+    assert rows[0] == ["GalaxyID"] + GALAXY_COLUMNS
+    # one row per held-out sample (synthetic test split), values clipped
+    assert len(rows) == 1 + 192
+    vals = np.asarray([[float(v) for v in r[1:]] for r in rows[1:]])
+    assert vals.min() >= 0.0 and vals.max() <= 1.0
+    # submission sits next to the stage CSV
+    assert (subs[0].parent / "results_predictor.csv").exists()
+
+
 def test_drop_last_contract_small_dataset():
     """n < batch_size with drop_last=True yields NO batches (fixed-shape
     contract), not one short batch."""
