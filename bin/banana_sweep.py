@@ -37,7 +37,9 @@ def publish(src="results", dst="artifacts/banana"):
     for pat in ("summarized_metrics_merged.csv", "rd_curves.png",
                 "summarized_RD_curves_merged.csv", "invariance_RD_curve.png",
                 "exp_banana_viz_VIC/codebook.png",
-                "exp_banana_viz_VIC/maxinv.png"):
+                "exp_banana_viz_VIC/maxinv.png",
+                "exp_banana_viz_VIC/traversals_1d.png",
+                "exp_banana_viz_VIC/traversals_2d.png"):
         for f in src.glob(pat):
             shutil.copy2(f, dst / f.name)
             print(f"published {f} -> {dst / f.name}", flush=True)
@@ -77,6 +79,9 @@ def make_viz():
     out = Path("results/exp_banana_viz_VIC")
     print(an.codebook_plot(out / "codebook.png"))
     print(an.maxinv_distribution_plot(out / "maxinv.png"))
+    # 1d/2d latent traversals (LatentDimInterpolator parity); banana's
+    # point decoder renders sweep paths / grid deformation in source space
+    print(an.latent_traversal_plot(out, range_start=-3, range_end=3))
 
 
 if __name__ == "__main__":

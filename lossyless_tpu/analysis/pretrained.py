@@ -79,3 +79,26 @@ class PretrainedAnalyser:
         x, _, _ = next(self.dataset.batches(n, seed=0))
         x_hat = np.asarray(self.reconstruct(x))
         return plot_reconstructions(np.asarray(x), x_hat, out_path, n=n)
+
+    def latent_traversal_plot(self, out_dir, range_start: float = -5.0,
+                              range_end: float = 5.0, n_per_lat: int = 7,
+                              n_lat_traverse: int = 5):
+        """1d + 2d latent traversals through the trained decoder
+        (LatentDimInterpolator, callbacks.py:119-231). Writes
+        traversals_1d.png and traversals_2d.png under `out_dir`."""
+        from .visualize import latent_traversal_1d, latent_traversal_2d
+
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        z_dim = self.cfg.encoder.z_dim
+        p1 = latent_traversal_1d(
+            self.decode, z_dim, out_dir / "traversals_1d.png",
+            range_start=range_start, range_end=range_end,
+            n_per_lat=n_per_lat, n_lat_traverse=n_lat_traverse)
+        p2 = None
+        if z_dim >= 2:
+            p2 = latent_traversal_2d(
+                self.decode, z_dim, out_dir / "traversals_2d.png",
+                range_start=range_start, range_end=range_end,
+                n_per_lat=n_per_lat)
+        return p1, p2

@@ -39,32 +39,115 @@ def plot_reconstructions(x, x_hat, out_path, n: int = 8):
     return out_path
 
 
-def latent_traversal(decode_fn, z_base, out_path, dims=(0, 1), span=2.0,
-                     n_steps: int = 9):
-    """Decode a 1d/2d sweep around `z_base` (callbacks.py:119-231)."""
+def latent_traversal_1d(decode_fn, z_dim: int, out_path,
+                        range_start: float = -5.0, range_end: float = 5.0,
+                        n_per_lat: int = 7, n_lat_traverse: int = 5,
+                        z_base=None):
+    """Traverse the first `n_lat_traverse` latents SEPARATELY
+    (LatentDimInterpolator.latent_traverse_1d, callbacks.py:172-231).
+
+    Each traversed latent is SET to `n_per_lat` values linearly spanning
+    [range_start, range_end] while the others stay at `z_base` (zeros by
+    default, matching the reference). Image decoders produce a row-per-
+    latent grid labeled "Lat. i"; 2-d point decoders (banana) get one panel
+    per latent with the decoded sweep drawn as a colored path in source
+    space.
+    """
     plt = _plt()
-    z_base = np.asarray(z_base, np.float32)
-    deltas = np.linspace(-span, span, n_steps)
-    if len(dims) == 1:
-        zs = np.tile(z_base, (n_steps, 1))
-        zs[:, dims[0]] += deltas
-        imgs = np.asarray(decode_fn(zs))
-        fig, axes = plt.subplots(1, n_steps, figsize=(1.4 * n_steps, 1.6))
-        for i, ax in enumerate(axes):
-            ax.imshow(np.clip(imgs[i].squeeze(), 0, 1), cmap="gray")
-            ax.axis("off")
-    else:
-        d0, d1 = dims[:2]
-        zs = np.tile(z_base, (n_steps * n_steps, 1))
-        grid = np.stack(np.meshgrid(deltas, deltas), -1).reshape(-1, 2)
-        zs[:, d0] += grid[:, 0]
-        zs[:, d1] += grid[:, 1]
-        imgs = np.asarray(decode_fn(zs))
-        fig, axes = plt.subplots(n_steps, n_steps,
-                                 figsize=(1.2 * n_steps, 1.2 * n_steps))
-        for i, ax in enumerate(axes.ravel()):
-            ax.imshow(np.clip(imgs[i].squeeze(), 0, 1), cmap="gray")
-            ax.axis("off")
+    n_lat = min(n_lat_traverse, z_dim)
+    sweeps = np.linspace(range_start, range_end, n_per_lat)
+    base = (np.zeros(z_dim, np.float32) if z_base is None
+            else np.asarray(z_base, np.float32))
+    zs = np.tile(base, (n_lat * n_per_lat, 1))
+    for i in range(n_lat):
+        zs[i * n_per_lat:(i + 1) * n_per_lat, i] = sweeps
+    out = np.asarray(decode_fn(zs.astype(np.float32)))
+
+    if out.ndim == 4:  # image decoder
+        fig, axes = plt.subplots(n_lat, n_per_lat,
+                                 figsize=(1.3 * n_per_lat, 1.4 * n_lat),
+                                 squeeze=False)
+        for r in range(n_lat):
+            for c in range(n_per_lat):
+                ax = axes[r, c]
+                img = out[r * n_per_lat + c]
+                ax.imshow(np.clip(img.squeeze(), 0, 1),
+                          cmap="gray" if img.shape[-1] == 1 else None)
+                ax.set_xticks([]); ax.set_yticks([])
+                if c == 0:
+                    ax.set_ylabel(f"Lat. {r}", fontsize=9)
+                if r == 0:
+                    ax.set_title(f"{sweeps[c]:.1f}", fontsize=8)
+        fig.suptitle("Sweeps", fontsize=10)
+    else:  # low-dim point decoder (banana): decoded path per latent
+        fig, axes = plt.subplots(1, n_lat, figsize=(3.0 * n_lat, 3.0),
+                                 squeeze=False)
+        for r in range(n_lat):
+            ax = axes[0, r]
+            pts = out[r * n_per_lat:(r + 1) * n_per_lat]
+            sc = ax.scatter(pts[:, 0], pts[:, 1], c=sweeps, cmap="viridis",
+                            s=28, zorder=3)
+            ax.plot(pts[:, 0], pts[:, 1], color="gray", lw=1, zorder=2)
+            ax.set_title(f"Lat. {r}", fontsize=10)
+        fig.colorbar(sc, ax=axes[0, -1], label="latent value")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def latent_traversal_2d(decode_fn, z_dim: int, out_path,
+                        range_start: float = -5.0, range_end: float = 5.0,
+                        n_per_lat: int = 7, z_base=None):
+    """Traverse the first TWO latents together on a grid
+    (LatentDimInterpolator.latent_traverse_2d, callbacks.py:196-217).
+
+    Image decoders produce the n x n image grid with "1st/2nd Latent" axis
+    labels; 2-d point decoders get the decoded deformation of the latent
+    grid (rows/columns of the grid drawn as lines in source space).
+    """
+    plt = _plt()
+    if z_dim < 2:
+        raise ValueError("2d traversal needs z_dim >= 2")
+    sweeps = np.linspace(range_start, range_end, n_per_lat)
+    base = (np.zeros(z_dim, np.float32) if z_base is None
+            else np.asarray(z_base, np.float32))
+    zs = np.tile(base, (n_per_lat * n_per_lat, 1))
+    g0, g1 = np.meshgrid(sweeps, sweeps, indexing="ij")
+    zs[:, 0] = g0.ravel()  # rows: 1st latent
+    zs[:, 1] = g1.ravel()  # cols: 2nd latent
+    out = np.asarray(decode_fn(zs.astype(np.float32)))
+
+    if out.ndim == 4:  # image decoder
+        fig, axes = plt.subplots(n_per_lat, n_per_lat,
+                                 figsize=(1.2 * n_per_lat, 1.3 * n_per_lat),
+                                 squeeze=False)
+        for i in range(n_per_lat):
+            for j in range(n_per_lat):
+                ax = axes[i, j]
+                img = out[i * n_per_lat + j]
+                ax.imshow(np.clip(img.squeeze(), 0, 1),
+                          cmap="gray" if img.shape[-1] == 1 else None)
+                ax.set_xticks([]); ax.set_yticks([])
+                if j == 0:
+                    ax.set_ylabel(f"{sweeps[i]:.1f}", fontsize=8)
+                if i == n_per_lat - 1:
+                    ax.set_xlabel(f"{sweeps[j]:.1f}", fontsize=8)
+        fig.supylabel("1st Latent", fontsize=10)
+        fig.supxlabel("2nd Latent", fontsize=10)
+    else:  # point decoder: decoded grid deformation
+        pts = out.reshape(n_per_lat, n_per_lat, -1)
+        fig, ax = plt.subplots(figsize=(5, 5))
+        for i in range(n_per_lat):
+            ax.plot(pts[i, :, 0], pts[i, :, 1], color="tab:blue", lw=1,
+                    alpha=0.7)
+            ax.plot(pts[:, i, 0], pts[:, i, 1], color="tab:orange", lw=1,
+                    alpha=0.7)
+        ax.scatter(pts[..., 0].ravel(), pts[..., 1].ravel(), s=10, c="k",
+                   zorder=3)
+        ax.set_title("decoded (lat0, lat1) grid")
+        ax.set_xlabel("Source dim. 1")
+        ax.set_ylabel("Source dim. 2")
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)

@@ -222,36 +222,31 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
     # arrays would hold GBs in HBM for large test sets.
     n_total = max(1, math.ceil(len(dataset) / batch_size))
     n_keep = max(1, int(n_total * limit))
+
+    # encoder_time (wall seconds per image for the encoder forward, the
+    # reference's first-class test metric, learnable_compressors.py:182-195)
+    # is measured on the SAME device-resident batches as the metrics —
+    # ONE pass over the split, not a second epoch of eval I/O; the first
+    # occurrence of each batch shape compiles (and transfers) untimed.
+    enc_fn = _jit_method(model, "encode")
+    variables = _model_variables(state)
     sizes: set[int] = set()
+    t_enc, n_timed = 0.0, 0
     for i, b in enumerate(itertools.islice(
             _all_batches(dataset, batch_size, cfg.trainer.seed), n_keep)):
         b = _maybe_shard(b, n_dev, mesh)
         _, logs = eval_step(state, b, jax.random.key(1000 + i))
         acc.update(logs, weight=len(b[0]))
-        sizes.add(len(b[0]))
-    metrics = acc.means()
-
-    # encoder_time: wall seconds per image for the encoder forward, the
-    # reference's first-class test metric (learnable_compressors.py:182-195)
-    enc_fn = _jit_method(model, "encode")
-    variables = _model_variables(state)
-    # compile untimed for EVERY distinct batch size seen (the ragged tail
-    # has its own shape); synthetic zeros avoid re-reading the data
-    in_shape = tuple(cfg.in_shape) if isinstance(cfg.in_shape, (tuple, list)) \
-        else (cfg.in_shape,)
-    for nsz in sizes:
-        warm = _maybe_shard(jnp.zeros((nsz, *in_shape), jnp.float32),
-                            n_dev, mesh)
-        jax.block_until_ready(enc_fn(variables, warm))
-    t_enc, n_timed = 0.0, 0
-    for b in itertools.islice(
-            _all_batches(dataset, batch_size, cfg.trainer.seed), n_keep):
         x = _maybe_shard(jnp.asarray(b[0]), n_dev, mesh)
-        jax.block_until_ready(x)  # host->device transfer outside the timing
+        if len(b[0]) not in sizes:  # compile at this shape, untimed
+            sizes.add(len(b[0]))
+            jax.block_until_ready(enc_fn(variables, x))
+        jax.block_until_ready(x)  # transfer settled outside the timing
         t0 = time.time()
         jax.block_until_ready(enc_fn(variables, x))
         t_enc += time.time() - t0
-        n_timed += len(x)
+        n_timed += len(b[0])
+    metrics = acc.means()
     metrics["encoder_time"] = t_enc / max(1, n_timed)
 
     if extra_logs:
@@ -378,8 +373,15 @@ def run_featurizer(cfg: ExperimentConfig):
         acc = MetricAccumulator()
         from ..train.state import eval_step
         vbs = _fit_bsz(cfg.data_feat.val_batch_size, len(val_ds), n_dev)
-        vb = list(val_ds.batches(vbs, n_epochs=1, seed=cfg.trainer.seed))
-        for j, b in enumerate(vb[:max(1, int(len(vb) * cfg.trainer.limit_eval_batches))]):
+        # STREAM the val split (one batch resident at a time) — list() would
+        # hold the whole split in host memory every epoch, wasteful for
+        # ImageNet-sized data_feat
+        n_vb = max(1, len(val_ds) // vbs)  # batches() drops ragged val tails
+        n_vkeep = max(1, int(n_vb * cfg.trainer.limit_eval_batches))
+        import itertools as _it
+        for j, b in enumerate(_it.islice(
+                val_ds.batches(vbs, n_epochs=1, seed=cfg.trainer.seed),
+                n_vkeep)):
             b = _maybe_shard(b, n_dev, mesh)
             _, vlogs = eval_step(state, b, jax.random.key(2000 + j))
             acc.update(vlogs, weight=len(b[0]))

@@ -131,6 +131,54 @@ def test_visualizations(tmp_path):
     assert (tmp_path / "maxinv.png").exists()
 
 
+def test_latent_traversals(tmp_path):
+    """1d/2d traversal plots (LatentDimInterpolator, callbacks.py:119-231)
+    for both decoder kinds, with traversal semantics checked via the
+    latents the decoder actually receives."""
+    from lossyless_tpu.analysis.visualize import (latent_traversal_1d,
+                                                  latent_traversal_2d)
+
+    seen = []
+
+    def img_decode(zs):
+        seen.append(np.asarray(zs))
+        return np.clip(zs[:, :1, None, None] * np.ones((1, 8, 8, 1)), 0, 1)
+
+    z_dim = 6
+    latent_traversal_1d(img_decode, z_dim, tmp_path / "t1.png",
+                        range_start=-5, range_end=5, n_per_lat=7,
+                        n_lat_traverse=3)
+    assert (tmp_path / "t1.png").exists()
+    zs = seen[0]
+    assert zs.shape == (3 * 7, z_dim)
+    # row r sweeps latent r from -5 to 5 while others stay at the 0 base
+    sweeps = np.linspace(-5, 5, 7)
+    for r in range(3):
+        block = zs[r * 7:(r + 1) * 7]
+        np.testing.assert_allclose(block[:, r], sweeps)
+        others = np.delete(block, r, axis=1)
+        np.testing.assert_array_equal(others, 0)
+
+    seen.clear()
+    latent_traversal_2d(img_decode, z_dim, tmp_path / "t2.png", n_per_lat=5)
+    assert (tmp_path / "t2.png").exists()
+    zs = seen[0]
+    assert zs.shape == (25, z_dim)
+    assert set(np.unique(zs[:, 0])) == set(np.linspace(-5, 5, 5))
+    np.testing.assert_array_equal(zs[:, 2:], 0)
+
+    # point decoder (banana): z -> 2d source coordinates
+    def pt_decode(zs):
+        return np.stack([zs[:, 0], np.sin(zs[:, 1])], -1)
+
+    latent_traversal_1d(pt_decode, 2, tmp_path / "p1.png")
+    latent_traversal_2d(pt_decode, 2, tmp_path / "p2.png")
+    assert (tmp_path / "p1.png").exists() and (tmp_path / "p2.png").exists()
+
+    with pytest.raises(ValueError):
+        latent_traversal_2d(pt_decode, 1, tmp_path / "bad.png")
+
+
 def test_classical_webp_grayscale():
     """WebP has no grayscale mode; decode must convert back (1-channel)."""
     yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
