@@ -1,0 +1,154 @@
+"""The flagship STL10 claim chain, as ONE command.
+
+Reference claims (`/root/reference/README.md:52-83`, via
+`hub/compressor.py:150-207` and a LinearSVC probe):
+
+    rate     1506.50 bits/img      (b005, real CLIP embeddings)
+    encode    347.82 img/sec       (GPU)
+    decode   1062.38 img/sec       (unbatched CPU)
+    accuracy   98.65 % STL10       (LinearSVC C=7e-3 on decoded features)
+
+This script runs the exact chain through the TPU stack: build the b005
+compressor -> compress STL10 train+test to files -> decode -> LinearSVC ->
+print measured-vs-published JSON. With real CLIP weights and real STL10
+binaries present, the numbers are directly comparable to the reference; in
+the zero-egress build environment it runs the identical plumbing on a
+random-weight (or --tiny) tower and synthetic STL10, with the output
+flagged `weights_synthetic` / `data_synthetic` so nobody mistakes the rate
+or accuracy for the published figures (the throughputs remain valid).
+
+Usage:
+    python bin/stl10_flagship.py                      # dry-run (synthetic)
+    python bin/stl10_flagship.py --tiny --n 256       # fast plumbing check
+    python bin/stl10_flagship.py \
+        --clip-weights /path/ViT-B-32.pt \
+        --data-dir /root/data                         # the real claim chain
+
+See RUNBOOK.md for how to obtain the two external artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+PUBLISHED = {"rate_bits_per_img": 1506.50, "encode_img_per_sec": 347.82,
+             "decode_img_per_sec": 1062.38, "stl10_accuracy": 0.9865}
+
+
+def _uint8_batches(ds, batch: int):
+    """(x[0,1] float, y, aux) -> (raw uint8 96px, y) for raw_input_hw."""
+    for x, y, _ in ds.batches(batch, n_epochs=1, seed=0, shuffle=False,
+                              drop_last=False):
+        yield (np.clip(np.asarray(x) * 255, 0, 255).astype(np.uint8),
+               np.asarray(y))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clip-weights", default=None,
+                    help="torch checkpoint with the OpenAI CLIP state dict")
+    ap.add_argument("--data-dir", default=None,
+                    help="dir containing stl10_binary/ (real STL10)")
+    ap.add_argument("--beta", default="b005")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--n", type=int, default=0,
+                    help="cap images per split (0 = full split)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="2-layer smoke tower (plumbing dry-run)")
+    ap.add_argument("--out", default=None, help="write the JSON here too")
+    args = ap.parse_args(argv)
+
+    from lossyless_tpu.analysis.linear_eval import z_linear_eval
+    from lossyless_tpu.data.images import ImageDataset
+    from lossyless_tpu.hub.compressor import load_pretrained
+
+    clip_sd = None
+    if args.clip_weights:
+        import torch
+
+        clip_sd = torch.load(args.clip_weights, map_location="cpu",
+                             weights_only=False)
+        if hasattr(clip_sd, "state_dict"):
+            clip_sd = clip_sd.state_dict()
+        if isinstance(clip_sd, dict) and "state_dict" in clip_sd:
+            clip_sd = clip_sd["state_dict"]
+
+    kwargs: dict = {"raw_input_hw": (96, 96)}
+    if args.tiny:
+        import jax.numpy as jnp
+
+        from lossyless_tpu.nn.vit import VisionTransformer
+
+        kwargs["model"] = VisionTransformer(width=64, layers=2, heads=2,
+                                            out_dim=512)
+    comp = load_pretrained(args.beta, clip_state_dict=clip_sd, **kwargs)
+
+    data_kw = {"data_dir": Path(args.data_dir)} if args.data_dir else {}
+    splits = {}
+    for split in ("train", "test"):
+        ds = ImageDataset(name="stl10", split=split, is_augment=False,
+                          **data_kw)
+        if args.n:
+            # cap via a wrapper iterator (plumbing dry-runs / quick checks)
+            n = min(args.n, len(ds))
+        else:
+            n = len(ds)
+        splits[split] = (ds, n)
+    data_synthetic = splits["train"][0].synthetic
+
+    results = {"beta": args.beta,
+               "weights_synthetic": clip_sd is None,
+               "data_synthetic": bool(data_synthetic),
+               "tiny_tower": bool(args.tiny)}
+    z, y = {}, {}
+    with tempfile.TemporaryDirectory() as td:
+        for split, (ds, n) in splits.items():
+            f = Path(td) / f"stl10_{split}_Z.bin"
+            lab = Path(td) / f"stl10_{split}_Y.npy"
+
+            def capped():
+                seen = 0
+                for xb, yb in _uint8_batches(ds, args.batch):
+                    if seen >= n:
+                        break
+                    k = min(len(xb), n - seen)
+                    seen += k
+                    yield xb[:k], yb[:k]
+
+            rate, enc_speed = comp.compress_dataset(capped(), f,
+                                                    label_file=lab,
+                                                    is_info=False)
+            t0 = time.time()
+            z[split], y[split] = comp.decompress_dataset(f, lab,
+                                                         is_info=False)
+            dec_speed = len(z[split]) / (time.time() - t0)
+            results[f"{split}_n"] = int(len(z[split]))
+            if split == "train":
+                results["rate_bits_per_img"] = round(float(rate), 2)
+                results["encode_img_per_sec"] = round(float(enc_speed), 2)
+                results["decode_img_per_sec"] = round(float(dec_speed), 2)
+
+    sv = z_linear_eval(z["train"], y["train"], z["test"], y["test"],
+                       fixed_C=7e-3)
+    results["stl10_accuracy"] = round(float(sv["acc"]), 4)
+    results["published"] = PUBLISHED
+    results["comparable_to_published"] = (not results["weights_synthetic"]
+                                          and not results["data_synthetic"]
+                                          and not args.tiny and not args.n)
+    print(json.dumps(results))
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=1) + "\n")
+    return results
+
+
+if __name__ == "__main__":
+    main()
