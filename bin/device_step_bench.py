@@ -31,7 +31,7 @@ import jax.numpy as jnp
 def run_variant(name: str, batch: int, attn_impl: str = "auto",
                 mlp_impl: str = "xla", ln_dtype: str = "float32",
                 cls_only_last: bool = True, attn_block: int | None = None,
-                reps: int = 12) -> dict:
+                attn_pack: int | None = None, reps: int = 12) -> dict:
     # cls_only_last defaults True to match VisionTransformer's framework
     # default, so 'b512' benchmarks the actual default config; use the
     # 'full_last' variant for the pre-flip A/B.
@@ -42,8 +42,11 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     from lossyless_tpu.nn import flash_attn
 
     saved_block = flash_attn.BLOCK_LIMIT
+    saved_pack = flash_attn.IMAGE_PACK
     if attn_block is not None:
         flash_attn.BLOCK_LIMIT = attn_block
+    if attn_pack is not None:
+        flash_attn.IMAGE_PACK = attn_pack
 
     eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
     eb_params = {k: jnp.asarray(v) for k, v in eb_params_np.items()}
@@ -87,9 +90,10 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     q = len(gaps) // 4
     mid = gaps[q:len(gaps) - q] or gaps
     best = sum(mid) / len(mid)
-    # restore the module default so later variants in the same process
-    # measure what their name says (attn_g* must not leak)
+    # restore the module defaults so later variants in the same process
+    # measure what their name says (attn_g*/attn_p* must not leak)
     flash_attn.BLOCK_LIMIT = saved_block
+    flash_attn.IMAGE_PACK = saved_pack
     return {"variant": name, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1),
@@ -111,6 +115,11 @@ VARIANTS = {
     # attention-kernel images-per-grid-step sweep (default 16)
     "attn_g8": dict(batch=512, attn_block=8),
     "attn_g32": dict(batch=512, attn_block=32),
+    # images packed per MXU dot (block-diagonal masked logits; default 1)
+    "attn_p4": dict(batch=512, attn_pack=4),
+    "attn_p8": dict(batch=512, attn_pack=8),
+    "attn_p16": dict(batch=512, attn_pack=16),
+    "attn_p8_g32": dict(batch=512, attn_pack=8, attn_block=32),
 }
 
 

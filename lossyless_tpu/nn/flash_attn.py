@@ -73,6 +73,16 @@ def _attn_kernel(qkv_ref, out_ref, *, heads: int):
 # variants attn_g8/attn_g32).
 BLOCK_LIMIT = 16
 
+# Images PACKED PER MXU DOT inside the kernel (1 = one batched dot per
+# head over (G, N, d) operands, i.e. G separate N x N problems). With
+# pack=P > 1, P images' tokens are stacked into one (P*N, d) operand and
+# the logits become a (P*N, P*N) matmul with a block-diagonal additive
+# mask: P^2/P = P x the dot FLOPs, but ~P x fewer MXU ops each P x closer
+# to the 128-wide tile, attacking the small-dot latency floor that
+# dominates attention's cost at N=50, d=64 (PERF.md round-4 ablation).
+# Numerics are exact: masked logits underflow to exp(-1e9)=0 in fp32.
+IMAGE_PACK = 1
+
 
 def _block_size(B: int, limit: int | None = None) -> int:
     if limit is None:
@@ -109,19 +119,77 @@ def _vmem_block_limit(per_image_bytes: int, budget: int = 4 << 20) -> int:
     return max(1, min(BLOCK_LIMIT, budget // max(1, per_image_bytes)))
 
 
+def _attn_kernel_packed(qkv_ref, amask_ref, out_ref, *, heads: int,
+                        pack: int):
+    """Per head, stack `pack` images' tokens into ONE (pack*N, d) operand:
+    logits are a single (pack*N, pack*N) MXU dot; the additive mask kills
+    cross-image blocks before softmax (exact: exp(-1e9) == 0 in fp32)."""
+    G, N, threeD = qkv_ref.shape
+    D = threeD // 3
+    d = D // heads
+    scale = d**-0.5
+    M = pack * N
+    for s in range(G // pack):
+        b0 = s * pack
+        for h in range(heads):
+            q = qkv_ref[b0:b0 + pack, :, h * d:(h + 1) * d].reshape(M, d)
+            k = qkv_ref[b0:b0 + pack, :,
+                        D + h * d:D + (h + 1) * d].reshape(M, d)
+            v = qkv_ref[b0:b0 + pack, :,
+                        2 * D + h * d:2 * D + (h + 1) * d].reshape(M, d)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = logits + amask_ref[:]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            attn = (p / jnp.sum(p, axis=-1,
+                                keepdims=True)).astype(out_ref.dtype)
+            o = jax.lax.dot_general(attn, v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out_ref[b0:b0 + pack, :, h * d:(h + 1) * d] = \
+                o.astype(out_ref.dtype).reshape(pack, N, d)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_attention(qkv: jnp.ndarray, heads: int,
                     interpret: bool | None = None) -> jnp.ndarray:
     """Fused MHSA from a (B, N, 3D) qkv tensor -> (B, N, D).
 
     `interpret=True` runs the kernel in the Pallas interpreter; the default
-    (None) picks it automatically on non-TPU backends.
+    (None) picks it automatically on non-TPU backends. With IMAGE_PACK > 1
+    the packed-dot kernel stacks that many images per MXU dot (see the
+    IMAGE_PACK note above).
     """
     interpret = _resolve_interpret(interpret)
     B, N, threeD = qkv.shape
     D = threeD // 3
     per_img = N * threeD * jnp.dtype(qkv.dtype).itemsize
     G = _block_size(B, _vmem_block_limit(per_img))
+    pack = min(IMAGE_PACK, G)
+    while G % pack:
+        pack -= 1
+    if pack > 1:
+        M = pack * N
+        img = jnp.arange(M, dtype=jnp.int32) // N
+        amask = jnp.where(img[:, None] == img[None, :], 0.0,
+                          -1e9).astype(jnp.float32)
+        kernel = functools.partial(_attn_kernel_packed, heads=heads,
+                                   pack=pack)
+        return pl.pallas_call(
+            kernel,
+            grid=(B // G,),
+            in_specs=[pl.BlockSpec((G, N, threeD), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      # constant block: fetched into VMEM once, rides
+                      # across the whole grid
+                      pl.BlockSpec((M, M), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+            interpret=interpret,
+        )(qkv, amask)
     kernel = functools.partial(_attn_kernel, heads=heads)
     return pl.pallas_call(
         kernel,

@@ -27,6 +27,49 @@ def test_forward_matches_einsum_bf16():
                                atol=2e-2)
 
 
+def test_packed_kernel_matches_einsum():
+    """IMAGE_PACK > 1 (block-diagonal masked big dots) is numerically
+    exact vs the per-head path: masked logits underflow to exactly 0."""
+    from lossyless_tpu.nn import flash_attn
+
+    qkv = _qkv(B=8, N=50, D=96)
+    ref = _reference_attention(qkv, 4)
+    saved = flash_attn.IMAGE_PACK
+    try:
+        for pack in (2, 4, 8):
+            flash_attn.IMAGE_PACK = pack
+            out = fused_attention(qkv, 4, True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+        # pack larger than the image block clamps to the block size
+        flash_attn.IMAGE_PACK = 64
+        out = fused_attention(qkv, 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # non-divisible pack falls back to the largest divisor
+        flash_attn.IMAGE_PACK = 3
+        out = fused_attention(qkv, 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        flash_attn.IMAGE_PACK = saved
+
+
+def test_packed_kernel_grad_routes_through_einsum():
+    from lossyless_tpu.nn import flash_attn
+
+    qkv = _qkv(B=4, N=10, D=32)
+    saved = flash_attn.IMAGE_PACK
+    try:
+        flash_attn.IMAGE_PACK = 4
+        g1 = jax.grad(lambda t: fused_attention(t, 4, True).sum())(qkv)
+    finally:
+        flash_attn.IMAGE_PACK = saved
+    g2 = jax.grad(lambda t: _reference_attention(t, 4).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_grad_routes_through_einsum():
     """custom_vjp backward must equal differentiating the einsum directly."""
     qkv = _qkv(B=2, N=10, D=32)
