@@ -91,6 +91,13 @@ class ClipCompressor:
                                tables.offset)
         self.medians_np = np.asarray(eb.medians(eb_np))
         self.indexes = np.arange(self.z_dim, dtype=np.int32)
+        # host-side copies of the output affine: decode is pure host work
+        # (rANS + two vector ops), so it must not pay a device dispatch per
+        # batch — the reference's decode explicitly runs without a GPU
+        # (README.md:64-66), and on a tunneled TPU each dispatch costs more
+        # than the decode itself
+        self._out_scale_np = np.exp(np.asarray(scaling, np.float32))
+        self._biasing_np = np.asarray(biasing, np.float32)
 
         if mesh is not None:
             from jax import shard_map
@@ -200,7 +207,9 @@ class ClipCompressor:
     def decompress(self, byte_strings: list[bytes]) -> np.ndarray:
         symbols = self.codec.decode_batch(byte_strings, self.indexes)
         z_hat = symbols.astype(np.float32) + self.medians_np[None]
-        return np.asarray(self._process_z_out(jnp.asarray(z_hat)))
+        # host-only inverse affine (see __init__): same fp32 arithmetic as
+        # the traced _process_z_out, no device round-trip per batch
+        return z_hat / self._out_scale_np[None] - self._biasing_np[None]
 
     def get_rate(self, x) -> float:
         """Mean coded bits per image over a batch (hub/compressor.py:127-135)."""

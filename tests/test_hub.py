@@ -56,6 +56,8 @@ def small_compressor():
                            tables.offset)
     comp.medians_np = np.asarray(eb.medians(eb_params_np))
     comp.indexes = np.arange(512, dtype=np.int32)
+    comp._out_scale_np = np.exp(np.asarray(scaling, np.float32))
+    comp._biasing_np = np.asarray(biasing, np.float32)
     comp._encode_fn = jax.jit(comp._encode_symbols)
     comp._features_fn = jax.jit(comp._features)
     return comp
