@@ -75,12 +75,20 @@ def main(argv=None):
     if args.clip_weights:
         import torch
 
-        clip_sd = torch.load(args.clip_weights, map_location="cpu",
-                             weights_only=False)
+        # the published OpenAI ViT-B-32.pt is a TorchScript archive
+        # (clip.load tries torch.jit.load first, utils parity); plain
+        # state-dict checkpoints fall back to torch.load
+        try:
+            clip_sd = torch.jit.load(args.clip_weights,
+                                     map_location="cpu").state_dict()
+        except Exception:
+            clip_sd = torch.load(args.clip_weights, map_location="cpu",
+                                 weights_only=False)
         if hasattr(clip_sd, "state_dict"):
             clip_sd = clip_sd.state_dict()
         if isinstance(clip_sd, dict) and "state_dict" in clip_sd:
             clip_sd = clip_sd["state_dict"]
+        # full-CLIP dicts (visual. prefix) are handled by the converter
 
     kwargs: dict = {"raw_input_hw": (96, 96)}
     if args.tiny:
