@@ -31,7 +31,8 @@ import jax.numpy as jnp
 def run_variant(name: str, batch: int, attn_impl: str = "auto",
                 mlp_impl: str = "xla", ln_dtype: str = "float32",
                 cls_only_last: bool = True, attn_block: int | None = None,
-                attn_pack: int | None = None, reps: int = 12) -> dict:
+                attn_pack: int | None = None, head_batch: bool = False,
+                reps: int = 12) -> dict:
     # cls_only_last defaults True to match VisionTransformer's framework
     # default, so 'b512' benchmarks the actual default config; use the
     # 'full_last' variant for the pre-flip A/B.
@@ -43,10 +44,12 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
 
     saved_block = flash_attn.BLOCK_LIMIT
     saved_pack = flash_attn.IMAGE_PACK
+    saved_hb = flash_attn.HEAD_BATCH
     if attn_block is not None:
         flash_attn.BLOCK_LIMIT = attn_block
     if attn_pack is not None:
         flash_attn.IMAGE_PACK = attn_pack
+    flash_attn.HEAD_BATCH = head_batch
 
     eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
     eb_params = {k: jnp.asarray(v) for k, v in eb_params_np.items()}
@@ -94,6 +97,7 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     # measure what their name says (attn_g*/attn_p* must not leak)
     flash_attn.BLOCK_LIMIT = saved_block
     flash_attn.IMAGE_PACK = saved_pack
+    flash_attn.HEAD_BATCH = saved_hb
     return {"variant": name, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1),
@@ -120,6 +124,8 @@ VARIANTS = {
     "attn_p8": dict(batch=512, attn_pack=8),
     "attn_p16": dict(batch=512, attn_pack=16),
     "attn_p8_g32": dict(batch=512, attn_pack=8, attn_block=32),
+    # all heads folded into one pair of batched dots per grid step
+    "attn_hb": dict(batch=512, head_batch=True),
 }
 
 

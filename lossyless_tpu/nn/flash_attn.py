@@ -81,7 +81,17 @@ BLOCK_LIMIT = 16
 # to the 128-wide tile, attacking the small-dot latency floor that
 # dominates attention's cost at N=50, d=64 (PERF.md round-4 ablation).
 # Numerics are exact: masked logits underflow to exp(-1e9)=0 in fp32.
+# MEASURED (PERF.md round 4): a full-tower loss at P=4/8 — the P^2 softmax
+# and logits-buffer growth swamp the dot-count saving. Default stays 1.
 IMAGE_PACK = 1
+
+# Head-batched dots: instead of looping `for h in heads` with two (G, N, d)
+# batched dots each, fold the head axis into the dot batch dimension — two
+# dot_general ops per grid step over (G*H, N, d) operands. Same FLOPs and
+# the same per-tile MXU work, H x fewer issued instructions; costs one
+# sublane-transpose relayout per operand ((G, N, H, d) -> (G, H, N, d)).
+# Opt-in for A/B via device_step_bench variant attn_hb.
+HEAD_BATCH = False
 
 
 def _block_size(B: int, limit: int | None = None) -> int:
@@ -151,6 +161,32 @@ def _attn_kernel_packed(qkv_ref, amask_ref, out_ref, *, heads: int,
                 o.astype(out_ref.dtype).reshape(pack, N, d)
 
 
+def _attn_kernel_headbatched(qkv_ref, out_ref, *, heads: int):
+    """All heads in ONE pair of batched dots per grid step (see HEAD_BATCH)."""
+    G, N, threeD = qkv_ref.shape
+    D = threeD // 3
+    d = D // heads
+    scale = d**-0.5
+
+    def heads_first(base):
+        t = qkv_ref[:, :, base:base + D].reshape(G, N, heads, d)
+        return t.transpose(0, 2, 1, 3).reshape(G * heads, N, d)
+
+    q = heads_first(0)
+    k = heads_first(D)
+    v = heads_first(2 * D)
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(out_ref.dtype)
+    o = jax.lax.dot_general(attn, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o = o.reshape(G, heads, N, d).transpose(0, 2, 1, 3).reshape(G, N, D)
+    out_ref[:] = o.astype(out_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_attention(qkv: jnp.ndarray, heads: int,
                     interpret: bool | None = None) -> jnp.ndarray:
@@ -190,7 +226,14 @@ def fused_attention(qkv: jnp.ndarray, heads: int,
             out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
             interpret=interpret,
         )(qkv, amask)
-    kernel = functools.partial(_attn_kernel, heads=heads)
+    if HEAD_BATCH:
+        # fp32 logits for ALL heads live at once: (G*H, N, N); budget the
+        # block size for them alongside the qkv block
+        per_img_hb = per_img + heads * N * N * 4 + N * D * 2
+        G = _block_size(B, _vmem_block_limit(per_img_hb))
+        kernel = functools.partial(_attn_kernel_headbatched, heads=heads)
+    else:
+        kernel = functools.partial(_attn_kernel, heads=heads)
     return pl.pallas_call(
         kernel,
         grid=(B // G,),

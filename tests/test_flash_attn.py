@@ -55,6 +55,25 @@ def test_packed_kernel_matches_einsum():
         flash_attn.IMAGE_PACK = saved
 
 
+def test_headbatched_kernel_matches_einsum():
+    """HEAD_BATCH folds all heads into one batched dot pair — numerics
+    match the per-head path (same dots, different batching)."""
+    from lossyless_tpu.nn import flash_attn
+
+    saved = flash_attn.HEAD_BATCH
+    try:
+        flash_attn.HEAD_BATCH = True
+        for dtype, tol in ((jnp.float32, dict(rtol=1e-5, atol=1e-5)),
+                           (jnp.bfloat16, dict(atol=2e-2))):
+            qkv = _qkv(dtype=dtype)
+            out = fused_attention(qkv, 4, True).astype(jnp.float32)
+            ref = _reference_attention(qkv, 4).astype(jnp.float32)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       **tol)
+    finally:
+        flash_attn.HEAD_BATCH = saved
+
+
 def test_packed_kernel_grad_routes_through_einsum():
     from lossyless_tpu.nn import flash_attn
 
