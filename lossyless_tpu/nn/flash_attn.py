@@ -162,15 +162,20 @@ def _attn_kernel_packed(qkv_ref, amask_ref, out_ref, *, heads: int,
 
 
 def _attn_kernel_headbatched(qkv_ref, out_ref, *, heads: int):
-    """All heads in ONE pair of batched dots per grid step (see HEAD_BATCH)."""
+    """All heads in ONE pair of batched dots per grid step (see HEAD_BATCH).
+
+    Head extraction uses sublane-axis concatenation of lane-aligned d-wide
+    slices (head-major (H*G, N, d) operands) — Mosaic rejects the
+    lane-splitting reshape (G, N, H*d) -> (G, N, H, d)."""
     G, N, threeD = qkv_ref.shape
     D = threeD // 3
     d = D // heads
     scale = d**-0.5
 
     def heads_first(base):
-        t = qkv_ref[:, :, base:base + D].reshape(G, N, heads, d)
-        return t.transpose(0, 2, 1, 3).reshape(G * heads, N, d)
+        return jnp.concatenate(
+            [qkv_ref[:, :, base + h * d:base + (h + 1) * d]
+             for h in range(heads)], axis=0)
 
     q = heads_first(0)
     k = heads_first(D)
@@ -183,8 +188,9 @@ def _attn_kernel_headbatched(qkv_ref, out_ref, *, heads: int):
     attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(out_ref.dtype)
     o = jax.lax.dot_general(attn, v, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    o = o.reshape(G, heads, N, d).transpose(0, 2, 1, 3).reshape(G, N, D)
-    out_ref[:] = o.astype(out_ref.dtype)
+    for h in range(heads):
+        out_ref[:, :, h * d:(h + 1) * d] = \
+            o[h * G:(h + 1) * G].astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
