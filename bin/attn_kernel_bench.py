@@ -16,13 +16,14 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
+
+from lossyless_tpu.core.timing import pipelined_iqm
 
 
 def time_variant(pack: int, batch: int, layers: int = 11,
@@ -48,21 +49,12 @@ def time_variant(pack: int, batch: int, layers: int = 11,
         qkv = jax.random.normal(jax.random.key(0), (batch, 50, 2304),
                                 jnp.bfloat16)
         jax.block_until_ready(step(qkv, jnp.bfloat16(0.5)))
-        marks = [time.perf_counter()]
-        inflight = [step(qkv, jnp.bfloat16(0.0)), step(qkv, jnp.bfloat16(1.0))]
-        for r in range(reps):
-            jax.block_until_ready(inflight.pop(0))
-            if r + 2 < reps:
-                inflight.append(step(qkv, jnp.bfloat16(2.0 + r)))
-            marks.append(time.perf_counter())
-        gaps = sorted(b - a for a, b in zip(marks, marks[1:]))
-        q = len(gaps) // 4
-        mid = gaps[q:len(gaps) - q] or gaps
-        best = sum(mid) / len(mid)
+        best, min_s = pipelined_iqm(
+            lambda r: step(qkv, jnp.bfloat16(float(r))), reps)
         return {"pack": pack, "batch": batch, "layers": layers,
                 "ms_per_step": round(best * 1e3, 2),
                 "ms_per_layer_call": round(best * 1e3 / layers, 3),
-                "min_ms": round(min(gaps) * 1e3, 2)}
+                "min_ms": round(min_s * 1e3, 2)}
     finally:
         flash_attn.IMAGE_PACK = saved
 

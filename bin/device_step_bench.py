@@ -19,13 +19,14 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
+
+from lossyless_tpu.core.timing import pipelined_iqm
 
 
 def run_variant(name: str, batch: int, attn_impl: str = "auto",
@@ -81,18 +82,8 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
 
     # depth-2 pipeline + inter-completion gaps: a bare block_until_ready per
     # dispatch would add one tunnel round trip to every sample
-    marks = [time.perf_counter()]
-    inflight = [step(params, bits, jnp.uint8(0)),
-                step(params, bits, jnp.uint8(1))]
-    for r in range(reps):
-        jax.block_until_ready(inflight.pop(0))
-        if r + 2 < reps:
-            inflight.append(step(params, bits, jnp.uint8(2 + r)))
-        marks.append(time.perf_counter())
-    gaps = sorted(b - a for a, b in zip(marks, marks[1:]))
-    q = len(gaps) // 4
-    mid = gaps[q:len(gaps) - q] or gaps
-    best = sum(mid) / len(mid)
+    best, min_s = pipelined_iqm(
+        lambda r: step(params, bits, jnp.uint8(r)), reps)
     # restore the module defaults so later variants in the same process
     # measure what their name says (attn_g*/attn_p* must not leak)
     flash_attn.BLOCK_LIMIT = saved_block
@@ -101,7 +92,7 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     return {"variant": name, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1),
-            "min_ms": round(min(gaps) * 1e3, 2)}
+            "min_ms": round(min_s * 1e3, 2)}
 
 
 VARIANTS = {

@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 from typing import Any
 
@@ -29,6 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from lossyless_tpu.core.timing import pipelined_iqm
 
 
 class AblBlock(nn.Module):
@@ -159,20 +160,10 @@ def time_step(model_apply, params, batch: int, reps: int) -> dict:
     bits = jax.random.bits(jax.random.key(0), (batch, 224, 224, 3),
                            jnp.uint8)
     jax.block_until_ready(step(params, bits, jnp.uint8(255)))
-    marks = [time.perf_counter()]
-    inflight = [step(params, bits, jnp.uint8(0)),
-                step(params, bits, jnp.uint8(1))]
-    for r in range(reps):
-        jax.block_until_ready(inflight.pop(0))
-        if r + 2 < reps:
-            inflight.append(step(params, bits, jnp.uint8(2 + r)))
-        marks.append(time.perf_counter())
-    gaps = sorted(b - a for a, b in zip(marks, marks[1:]))
-    q = len(gaps) // 4
-    mid = gaps[q:len(gaps) - q] or gaps
-    best = sum(mid) / len(mid)
+    best, min_s = pipelined_iqm(
+        lambda r: step(params, bits, jnp.uint8(r)), reps)
     return {"ms_per_batch": round(best * 1e3, 2),
-            "min_ms": round(min(gaps) * 1e3, 2),
+            "min_ms": round(min_s * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1)}
 
 

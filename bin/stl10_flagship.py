@@ -103,8 +103,11 @@ def main(argv=None):
     data_kw = {"data_dir": Path(args.data_dir)} if args.data_dir else {}
     splits = {}
     for split in ("train", "test"):
+        # val_fraction=0: the published numbers use the FULL 5000-image
+        # train split for the SVC (reference README.md:74-82); the default
+        # 0.1 carve would silently drop 500 images from the claim chain
         ds = ImageDataset(name="stl10", split=split, is_augment=False,
-                          **data_kw)
+                          val_fraction=0.0, **data_kw)
         if args.n:
             # cap via a wrapper iterator (plumbing dry-runs / quick checks)
             n = min(args.n, len(ds))

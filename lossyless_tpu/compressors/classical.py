@@ -59,9 +59,14 @@ def ms_ssim(x: np.ndarray, y: np.ndarray, data_range: float = 1.0) -> float:
     y = np.asarray(y, dtype=np.float64)
     if x.shape != y.shape or x.ndim != 4:
         raise ValueError(f"expected equal NHWC shapes, got {x.shape} {y.shape}")
-    win = 11
-    # coarsest scale must still fit one valid 11-tap window
-    max_scales = 1 + int(np.floor(np.log2(min(x.shape[1], x.shape[2]) / win)))
+    # window shrinks (odd) for tiny images so valid-mode filtering never
+    # exceeds the spatial extent — same degradation skimage applies
+    mind = min(x.shape[1], x.shape[2])
+    win = min(11, mind if mind % 2 else mind - 1)
+    if win < 1:
+        raise ValueError(f"images too small for SSIM: {x.shape}")
+    # coarsest scale must still fit one valid win-tap window
+    max_scales = 1 + int(np.floor(np.log2(mind / win)))
     n_scales = int(np.clip(max_scales, 1, len(_MSSSIM_WEIGHTS)))
     weights = _MSSSIM_WEIGHTS[:n_scales] / _MSSSIM_WEIGHTS[:n_scales].sum() \
         if n_scales < len(_MSSSIM_WEIGHTS) else _MSSSIM_WEIGHTS

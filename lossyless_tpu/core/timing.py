@@ -25,6 +25,37 @@ class Timer:
         return False
 
 
+def pipelined_iqm(dispatch, reps: int = 12, depth: int = 2):
+    """Time `dispatch(r)` (async device work) with a depth-`depth` pipeline.
+
+    Keeps `depth` results in flight so host readback never leaves a bubble
+    between device windows, then reports the interquartile mean of the
+    inter-completion gaps — robust to transient stalls (which blow up the
+    mean) AND to completion bunching under pipelining (which makes the
+    median/min optimistic). `dispatch` must return something
+    `jax.block_until_ready` accepts, and must vary its program input with
+    `r` (some backends memoize identical dispatches).
+
+    Returns (iqm_seconds, min_seconds). One shared implementation for the
+    microbench harnesses (bin/device_step_bench.py, bin/attn_kernel_bench.py,
+    bin/step_ablation.py).
+    """
+    import jax
+
+    marks = [time.perf_counter()]
+    inflight = [dispatch(r) for r in range(depth)]
+    for r in range(reps):
+        jax.block_until_ready(inflight.pop(0))
+        nxt = r + depth
+        if nxt < reps:
+            inflight.append(dispatch(nxt))
+        marks.append(time.perf_counter())
+    gaps = sorted(b - a for a, b in zip(marks, marks[1:]))
+    q = len(gaps) // 4
+    mid = gaps[q:len(gaps) - q] or gaps
+    return sum(mid) / len(mid), min(gaps)
+
+
 @contextmanager
 def device_timer(result_holder: dict, key: str):
     """Times a block that ends with device work; syncs before stopping."""

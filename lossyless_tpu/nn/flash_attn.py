@@ -212,6 +212,15 @@ def fused_attention(qkv: jnp.ndarray, heads: int,
     while G % pack:
         pack -= 1
     if pack > 1:
+        # rebudget the block size for the packed buffers: per image the
+        # kernel additionally holds its share of the fp32 (M, M) logits /
+        # exp / mask blocks (3 * pack * N^2 * 4 bytes) plus the output
+        # block — the qkv-only budget above would blow VMEM at pack>=8
+        per_img_packed = (per_img + N * D * jnp.dtype(qkv.dtype).itemsize
+                          + 3 * pack * N * N * 4)
+        lim = max(pack, _vmem_block_limit(per_img_packed))
+        G = next(g for g in range(min(lim, B), pack - 1, -1)
+                 if B % g == 0 and g % pack == 0)
         M = pack * N
         img = jnp.arange(M, dtype=jnp.int32) // N
         amask = jnp.where(img[:, None] == img[None, :], 0.0,

@@ -240,7 +240,10 @@ def _evaluate(model, state, dataset, cfg, stage: str, batch_size: int,
         x = _maybe_shard(jnp.asarray(b[0]), n_dev, mesh)
         if len(b[0]) not in sizes:  # compile at this shape, untimed
             sizes.add(len(b[0]))
-            jax.block_until_ready(enc_fn(variables, x))
+            # warm on a DISTINCT input: some backends memoize identical
+            # dispatches (bench.py salts inputs for the same reason), so
+            # warming on x itself would make the timed call below free
+            jax.block_until_ready(enc_fn(variables, jnp.zeros_like(x)))
         jax.block_until_ready(x)  # transfer settled outside the timing
         t0 = time.time()
         jax.block_until_ready(enc_fn(variables, x))
@@ -622,8 +625,19 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
                                    target_shape)
         trainer.fit(z_tr, y_tr, seed=cfg.trainer.seed)
 
-    z_te, y_te = featurize_dataset(
-        feat_fn, _all_batches(pred_val, bsz, cfg.trainer.seed), pad_to=bsz)
+    is_galaxy = data_cfg.name.startswith("galaxy")
+    if is_galaxy:
+        # ONE unshuffled pass over the held-out split: evaluate() is
+        # order-invariant, and the kaggle submission below needs DATASET
+        # order — reusing the same features halves the featurization cost
+        z_te, y_te = featurize_dataset(
+            feat_fn, pred_val.batches(bsz, n_epochs=1, seed=0,
+                                      shuffle=False, drop_last=False),
+            pad_to=bsz)
+    else:
+        z_te, y_te = featurize_dataset(
+            feat_fn, _all_batches(pred_val, bsz, cfg.trainer.seed),
+            pad_to=bsz)
     # published per-class weight tables feed the balanced metrics for the
     # imbalanced reference datasets (utils/data/helpers.py:93-238)
     from ..data.balancing import get_balancing_weights
@@ -633,18 +647,13 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
                                           balancing_weights=weights),
                          "test", "pred")
     metrics["data_pred"] = data_cfg.name
-    if data_cfg.name.startswith("galaxy"):
+    if is_galaxy:
         # the reference's predictor stage emits the galaxy-zoo kaggle
-        # submission automatically (main.py:750-825): predict the held-out
-        # split in DATASET order (the metrics pass above shuffles) and
-        # write the CSV next to results_predictor.csv
+        # submission automatically (main.py:750-825): z_te is already in
+        # DATASET order (unshuffled pass above), so predict it directly
         from ..analysis.kaggle import write_kaggle_submission
 
-        z_sub, _ = featurize_dataset(
-            feat_fn, pred_val.batches(bsz, n_epochs=1, seed=0,
-                                      shuffle=False, drop_last=False),
-            pad_to=bsz)
-        preds = trainer.predict(z_sub)
+        preds = trainer.predict(z_te)
         ids = getattr(pred_val, "ids", None)
         if ids is None:  # synthetic/no-egress fallback: positional ids
             ids = np.arange(len(preds)) + 1

@@ -69,6 +69,16 @@ def test_ms_ssim_orders_jpeg_quality():
     v = ms_ssim(small, noisy)
     assert 0.0 < v < 1.0
 
+    # images below the 11-tap window: the window shrinks (odd) instead of
+    # crashing — batch_run must keep returning metrics for e.g. 8x8 inputs
+    tiny = x[:, :8, :8].astype(np.float64) / 255.0
+    assert ms_ssim(tiny, tiny) == pytest.approx(1.0)
+    tiny_noisy = np.clip(tiny + rng.normal(0, 0.05, tiny.shape), 0, 1)
+    assert 0.0 < ms_ssim(tiny, tiny_noisy) < 1.0
+    _, logs8 = ClassicalCompressor(mode="png").batch_run(
+        x[:, :8, :8].copy())
+    assert logs8["ms_ssim"] == pytest.approx(1.0)  # png is lossless
+
 
 def test_aggregator_roundtrip(tmp_path):
     from lossyless_tpu.train.metrics import write_results_csv
