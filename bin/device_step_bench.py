@@ -11,7 +11,9 @@ Variants: b512 (default config: cls-only-last ON, matching
 VisionTransformer's default), b1024, b256, einsum (XLA attention),
 mlp_pallas (fused MLP half-block), ln_bf16, full_last (class-token-only
 final block OFF, the pre-round-3 default), attn_g8/attn_g32 (attention
-kernel block-size sweep).
+kernel block-size sweep), attn_p4/p8/p16[_g32] (images packed per MXU
+dot — measured full-tower LOSSES, PERF.md round 4), attn_hb (head-batched
+dots — also a measured loss).
 """
 
 from __future__ import annotations
