@@ -26,7 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import apply_norm, get_activation, norm_uses_bias
+from .layers import (KAIMING_NORMAL_OUT, KAIMING_UNIFORM, apply_norm,
+                     get_activation, norm_uses_bias)
 
 
 def _closest_pow2(n: int) -> int:
@@ -57,11 +58,13 @@ class CNNEncoder(nn.Module):
         x = x.astype(d)
         for i in range(n_layers):
             x = nn.Conv(self.hid_dim * 2 ** i, (3, 3), strides=2, padding=1,
-                        use_bias=use_bias, dtype=d)(x)
+                        use_bias=use_bias, dtype=d,
+                        kernel_init=KAIMING_NORMAL_OUT)(x)
             x = apply_norm(self.norm_layer, x, training=training)
             x = act(x).astype(d)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.out_dim, dtype=d)(x).astype(jnp.float32)
+        return nn.Dense(self.out_dim, dtype=d,
+                        kernel_init=KAIMING_UNIFORM)(x).astype(jnp.float32)
 
 
 class CNNDecoder(nn.Module):
@@ -87,7 +90,7 @@ class CNNDecoder(nn.Module):
         end_h, end_w = h2 // 2 ** n_layers, w2 // 2 ** n_layers
 
         x = nn.Dense(channels[0] * end_h * end_w, use_bias=use_bias,
-                     dtype=d)(z.astype(d))
+                     dtype=d, kernel_init=KAIMING_UNIFORM)(z.astype(d))
         x = x.reshape(z.shape[0], end_h, end_w, channels[0])
         outs = channels[1:] + [c]
         for i, out_chan in enumerate(outs):
@@ -96,7 +99,8 @@ class CNNDecoder(nn.Module):
             x = act(x).astype(d)
             x = nn.ConvTranspose(out_chan, (3, 3), strides=(2, 2),
                                  padding="SAME",
-                                 use_bias=use_bias or is_last, dtype=d)(x)
+                                 use_bias=use_bias or is_last, dtype=d,
+                                 kernel_init=KAIMING_NORMAL_OUT)(x)
         if (h2, w2) != (h, w):
             x = jax.image.resize(x.astype(jnp.float32),
                                  (x.shape[0], h, w, c), "bilinear")
@@ -143,7 +147,8 @@ class BalleEncoder(nn.Module):
             is_last = i == self.n_layers - 1
             out_c = self.channel_out_dim if is_last else self.hid_dim
             x = nn.Conv(out_c, (5, 5), strides=2, padding=2,
-                        use_bias=use_bias or is_last, dtype=d)(x)
+                        use_bias=use_bias or is_last, dtype=d,
+                        kernel_init=KAIMING_NORMAL_OUT)(x)
             if not is_last:
                 x = apply_norm(self.norm_layer, x, training=training)
                 x = act(x).astype(d)
@@ -176,7 +181,8 @@ class BalleDecoder(nn.Module):
             is_last = i == self.n_layers - 1
             out_c = c if is_last else self.hid_dim
             x = nn.ConvTranspose(out_c, (5, 5), strides=(2, 2), padding="SAME",
-                                 use_bias=use_bias or is_last, dtype=d)(x)
+                                 use_bias=use_bias or is_last, dtype=d,
+                                 kernel_init=KAIMING_NORMAL_OUT)(x)
             if not is_last:
                 x = apply_norm(self.norm_layer, x, training=training)
                 x = act(x).astype(d)

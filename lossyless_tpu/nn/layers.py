@@ -16,6 +16,21 @@ import jax.numpy as jnp
 
 from ..core.math import lower_bound
 
+# Reference init parity (`/root/reference/lossyless/helpers.py:153-192`
+# weights_init, applied by every architecture/rate/distortion constructor):
+# Linear layers are kaiming_uniform over fan_in with the relu gain
+# (bound = sqrt(6/fan_in)); Conv layers are kaiming_normal over fan_out
+# (std = sqrt(2/fan_out)); biases are zeroed (the flax default). Flax's
+# lecun_normal default halves the weight variance relative to this scheme,
+# which measurably shifts early training dynamics, so the trained-from-
+# scratch architectures (MLP/CNN/BALLE/ResNet) take these as kernel_init
+# defaults. The CLIP towers keep OpenAI's own normal(0.02)-style init.
+# (torch quirk not reproduced: for ConvTranspose, torch's fan_out counts
+# in_channels; here fan_out = out_channels * receptive field for all convs.)
+KAIMING_UNIFORM = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+KAIMING_NORMAL_OUT = nn.initializers.variance_scaling(2.0, "fan_out",
+                                                      "normal")
+
 
 class GDN(nn.Module):
     """Generalized divisive normalization (Ballé et al. 2016).

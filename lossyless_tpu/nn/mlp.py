@@ -13,7 +13,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import apply_norm, get_activation, norm_uses_bias
+from .layers import (KAIMING_UNIFORM, apply_norm, get_activation,
+                     norm_uses_bias)
 
 
 def _prod(shape) -> int:
@@ -43,12 +44,14 @@ class MLP(nn.Module):
         # flatten everything but batch into features
         x = x.reshape(x.shape[0], -1).astype(d)
         for _ in range(self.n_hid_layers):
-            x = nn.Dense(self.hid_dim, use_bias=use_bias, dtype=d)(x)
+            x = nn.Dense(self.hid_dim, use_bias=use_bias, dtype=d,
+                         kernel_init=KAIMING_UNIFORM)(x)
             x = apply_norm(self.norm_layer, x, training=training)
             x = act(x).astype(d)
             if self.dropout_p > 0:
                 x = nn.Dropout(self.dropout_p, deterministic=not training)(x)
-        return nn.Dense(self.out_dim, dtype=d)(x).astype(jnp.float32)
+        return nn.Dense(self.out_dim, dtype=d,
+                        kernel_init=KAIMING_UNIFORM)(x).astype(jnp.float32)
 
 
 class FlattenMLP(nn.Module):
@@ -86,7 +89,7 @@ class FlattenLinear(nn.Module):
     def __call__(self, x, *, training: bool = False):
         out_shape = _as_tuple(self.out_shape)
         x = x.reshape(x.shape[0], -1)
-        y = nn.Dense(_prod(out_shape))(x)
+        y = nn.Dense(_prod(out_shape), kernel_init=KAIMING_UNIFORM)(x)
         return y.reshape((x.shape[0],) + out_shape)
 
 

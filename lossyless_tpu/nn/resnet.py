@@ -19,6 +19,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .layers import KAIMING_NORMAL_OUT
+
 
 class BasicBlock(nn.Module):
     filters: int
@@ -28,7 +30,8 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, training: bool = False):
         d = jnp.dtype(self.dtype)
-        conv = partial(nn.Conv, use_bias=False, dtype=d)
+        conv = partial(nn.Conv, use_bias=False, dtype=d,
+                       kernel_init=KAIMING_NORMAL_OUT)
         norm = partial(nn.BatchNorm, use_running_average=not training)
         residual = x
         y = conv(self.filters, (3, 3), self.strides, padding=1)(x)
@@ -50,7 +53,8 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, training: bool = False):
         d = jnp.dtype(self.dtype)
-        conv = partial(nn.Conv, use_bias=False, dtype=d)
+        conv = partial(nn.Conv, use_bias=False, dtype=d,
+                       kernel_init=KAIMING_NORMAL_OUT)
         norm = partial(nn.BatchNorm, use_running_average=not training)
         residual = x
         y = conv(self.filters, (1, 1))(x)
@@ -90,11 +94,13 @@ class ResNet(nn.Module):
         x = x.astype(d)
         if small_input:
             # stem surgery for small images (architectures.py:292-297)
-            x = nn.Conv(64, (3, 3), 1, padding=1, use_bias=False, dtype=d)(x)
+            x = nn.Conv(64, (3, 3), 1, padding=1, use_bias=False, dtype=d,
+                        kernel_init=KAIMING_NORMAL_OUT)(x)
             x = nn.BatchNorm(use_running_average=not training)(x)
             x = nn.relu(x)
         else:
-            x = nn.Conv(64, (7, 7), 2, padding=3, use_bias=False, dtype=d)(x)
+            x = nn.Conv(64, (7, 7), 2, padding=3, use_bias=False, dtype=d,
+                        kernel_init=KAIMING_NORMAL_OUT)(x)
             x = nn.BatchNorm(use_running_average=not training)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
