@@ -285,9 +285,11 @@ def run_featurizer(cfg: ExperimentConfig):
     # schedulers declared with total_steps<=0 span the planned training
     # (reference: scheduler epochs interpolate ${trainer.max_epochs})
     total = steps_per_epoch * cfg.data_feat.n_epochs
-    opt_feat = bind_schedule_steps(cfg.optimizer_feat, total)
-    opt_online = bind_schedule_steps(cfg.optimizer_online, total)
-    opt_coder = bind_schedule_steps(cfg.optimizer_coder, total)
+    opt_feat = bind_schedule_steps(cfg.optimizer_feat, total, steps_per_epoch)
+    opt_online = bind_schedule_steps(cfg.optimizer_online, total,
+                                     steps_per_epoch)
+    opt_coder = bind_schedule_steps(cfg.optimizer_coder, total,
+                                    steps_per_epoch)
 
     sample = next(train_ds.batches(min(bsz, len(train_ds)),
                                    seed=cfg.trainer.seed))
@@ -324,6 +326,22 @@ def run_featurizer(cfg: ExperimentConfig):
                         **_logger_kwargs(cfg))
     val_ds = _val_dataset(cfg, cfg.data_feat)
     start_epoch = int(state.step) // steps_per_epoch
+
+    # plateau scheduler: ONE host controller on the checkpoint monitor
+    # drives the lr scale of every plateau-labeled optimizer group (the
+    # reference's per-group ReduceLROnPlateau instances all monitor the
+    # same checkpoint metric, config/scheduler/plateau.yaml); settings come
+    # from the featurizer optimizer. The scale itself rides in opt_state.
+    plateau_ctl = None
+    if any(o.scheduler == "plateau"
+           for o in (opt_feat, opt_online, opt_coder)):
+        from ..train.state import ReduceLROnPlateau
+        plateau_ctl = ReduceLROnPlateau(
+            factor=opt_feat.plateau_factor,
+            patience=opt_feat.plateau_patience,
+            threshold=opt_feat.plateau_threshold,
+            min_scale=opt_feat.plateau_min_lr / max(opt_feat.lr, 1e-30),
+            mode=cfg.trainer.monitor_mode)
 
     # fused path: datasets exposing a device sampler train each epoch as ONE
     # XLA program (sampling + augmentation + steps_per_epoch updates) —
@@ -399,6 +417,14 @@ def run_featurizer(cfg: ExperimentConfig):
         monitor_val = val.get(cfg.trainer.monitor,
                               val.get("loss", float("nan")))
         ckpt.maybe_save_best(host_state, int(state.step), monitor_val)
+        if plateau_ctl is not None:
+            prev = plateau_ctl.scale
+            new_scale = plateau_ctl.step(float(monitor_val))
+            if new_scale != prev:  # only touch device state on a reduction
+                from ..train.state import set_plateau_scale
+                state = jax.device_put(
+                    state.replace(opt_state=set_plateau_scale(
+                        state.opt_state, new_scale)), repl)
 
     # restore best weights, export weights-only (main.py:516-528)
     best = ckpt.restore(jax.device_get(state), "best")

@@ -35,20 +35,36 @@ class OptimConfig:
     mode: str = "adam"                   # adam|adamw|sgd
     lr: float = 3e-4
     weight_decay: float = 0.0
-    # scheduler: {none, expdecay, unifmultistep}
+    # scheduler: {none, expdecay, unifmultistep, cosine, cosine_restart,
+    # plateau} — the reference scheduler group (config/scheduler/*.yaml:
+    # expdecay/unifmultistep via helpers.py:492-550, cosine =
+    # CosineAnnealingLR, cosine_restart = CosineAnnealingWarmRestarts,
+    # plateau = ReduceLROnPlateau through the torch passthrough branch)
     scheduler: str = "none"
     decay_factor: float = 1000.0
     k_steps: int = 3
     total_steps: int = 10000
+    # bound alongside total_steps (bind_schedule_steps); epoch-denominated
+    # schedulers (cosine_restart) and the plateau controller need it
+    steps_per_epoch: int = 0
+    restart_t0_epochs: int = 5           # cosine_restart T_0 (epochs)
+    restart_mult: int = 2                # cosine_restart T_mult
+    # plateau (torch ReduceLROnPlateau semantics, threshold_mode=rel;
+    # config/scheduler/plateau.yaml; plateau_quick = factor .3, patience 5)
+    plateau_factor: float = 0.2
+    plateau_patience: int = 10           # epochs without improvement
+    plateau_threshold: float = 1e-4      # relative improvement threshold
+    plateau_min_lr: float = 1e-7
 
 
 def _make_schedule(cfg: OptimConfig):
-    if cfg.scheduler == "none" or cfg.total_steps <= 0:
+    if cfg.scheduler in ("none", "plateau") or cfg.total_steps <= 0:
         # total_steps<=0 = an unbound schedule: eval-only runs (n_epochs=0)
         # where nothing trains, or a direct TrainState consumer that didn't
         # bind steps — constant lr. Pipeline runs always bind via
         # run.py::_fill_steps; standalone scripts must do the same to get
-        # the declared decay (bin/*_repro.py do).
+        # the declared decay (bin/*_repro.py do). "plateau" is host-driven
+        # (ReduceLROnPlateau + host_lr_scale), not a step schedule.
         return cfg.lr
     if cfg.scheduler == "expdecay":
         # decay lr by decay_factor over total_steps (helpers.py:492-550)
@@ -63,21 +79,139 @@ def _make_schedule(cfg: OptimConfig):
         delta = max(1, cfg.total_steps // (k + 1))
         return optax.piecewise_constant_schedule(
             cfg.lr, {delta * i: gamma for i in range(1, k + 1)})
+    if cfg.scheduler == "cosine":
+        # CosineAnnealingLR(T_max=max_epochs, eta_min=0): one half-cosine
+        # from lr to 0 over training (config/scheduler/cosine.yaml)
+        return optax.cosine_decay_schedule(cfg.lr, cfg.total_steps, alpha=0.0)
+    if cfg.scheduler == "cosine_restart":
+        # CosineAnnealingWarmRestarts(T_0=5 epochs, T_mult=2, eta_min=0)
+        # (config/scheduler/cosine_restart.yaml): lr snaps back to base at
+        # the start of each period, periods grow by restart_mult
+        spe = cfg.steps_per_epoch
+        if spe <= 0:
+            raise ValueError(
+                "cosine_restart is epoch-denominated: bind steps_per_epoch "
+                "via bind_schedule_steps(cfg, total, steps_per_epoch)")
+        import itertools
+
+        periods, t = [], max(1, cfg.restart_t0_epochs * spe)
+        while sum(periods) < cfg.total_steps:
+            periods.append(t)
+            t *= max(1, cfg.restart_mult)
+        boundaries = list(itertools.accumulate(periods))[:-1]
+        return optax.join_schedules(
+            [optax.cosine_decay_schedule(cfg.lr, p, alpha=0.0)
+             for p in periods], boundaries)
     raise ValueError(f"unknown scheduler {cfg.scheduler}")
 
 
-def bind_schedule_steps(cfg: OptimConfig, total_steps: int) -> OptimConfig:
+def bind_schedule_steps(cfg: OptimConfig, total_steps: int,
+                        steps_per_epoch: int = 0) -> OptimConfig:
     """Fill an unbound schedule (total_steps<=0) with the planned step count.
 
     Schedulers are declared span-relative (the reference interpolates
     ${trainer.max_epochs}); the pipeline binds them at dataset-bind time
     (run.py) and standalone scripts must bind them too or the schedule
-    degrades to constant lr (_make_schedule)."""
+    degrades to constant lr (_make_schedule). `steps_per_epoch` additionally
+    binds the epoch-denominated schedulers (cosine_restart periods)."""
     import dataclasses
 
-    if cfg.scheduler != "none" and cfg.total_steps <= 0:
-        return dataclasses.replace(cfg, total_steps=max(0, total_steps))
+    if cfg.scheduler != "none":
+        fills = {}
+        if cfg.total_steps <= 0:
+            fills["total_steps"] = max(0, total_steps)
+        if cfg.steps_per_epoch <= 0 and steps_per_epoch > 0:
+            fills["steps_per_epoch"] = steps_per_epoch
+        if fills:
+            return dataclasses.replace(cfg, **fills)
     return cfg
+
+
+class HostLRScaleState(flax.struct.PyTreeNode):
+    """Optimizer-state leaf holding a host-settable lr multiplier (the
+    functional seat of ReduceLROnPlateau: the controller lives on the host,
+    the scale rides in opt_state so it persists through jitted epochs AND
+    checkpoints)."""
+
+    scale: jax.Array
+
+
+def host_lr_scale() -> optax.GradientTransformation:
+    """Scale the final update by a host-settable factor (== scaling the lr,
+    chained after the optimizer). See ReduceLROnPlateau/set_plateau_scale."""
+
+    def init(params):
+        del params
+        return HostLRScaleState(scale=jnp.ones((), jnp.float32))
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u: u * state.scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """Host-side plateau controller, torch ReduceLROnPlateau semantics
+    (mode min/max, threshold_mode=rel, no cooldown —
+    config/scheduler/plateau.yaml). Feed one monitored value per epoch via
+    `step()`; it returns the current lr scale (1.0 until the first
+    reduction). The scale itself persists in opt_state (HostLRScaleState),
+    so a preempted-and-resumed run keeps its reduced lr; the patience
+    counter restarts with the process (epoch-grained, self-corrects)."""
+
+    factor: float = 0.2
+    patience: int = 10
+    threshold: float = 1e-4
+    min_scale: float = 0.0
+    mode: str = "min"
+    best: float = dataclasses.field(default=None, init=False)  # type: ignore
+    num_bad: int = dataclasses.field(default=0, init=False)
+    scale: float = dataclasses.field(default=1.0, init=False)
+
+    def _is_better(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
+
+    def step(self, metric: float) -> float:
+        import math
+
+        if math.isfinite(metric) and self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.num_bad = 0
+        return self.scale
+
+
+def set_plateau_scale(opt_state, scale: float, label: str | None = None):
+    """Write `scale` into every HostLRScaleState leaf (one multi_transform
+    group when `label` is given, all groups otherwise). Groups whose
+    optimizer doesn't chain host_lr_scale (scheduler != plateau) have no
+    such leaf and are untouched. Returns a new opt_state pytree."""
+
+    def is_leaf(s):
+        return isinstance(s, HostLRScaleState)
+
+    def repl(s):
+        if is_leaf(s):
+            return HostLRScaleState(
+                scale=jnp.asarray(scale, jnp.float32))
+        return s
+
+    if label is None:
+        return jax.tree_util.tree_map(repl, opt_state, is_leaf=is_leaf)
+    inner = dict(opt_state.inner_states)
+    inner[label] = jax.tree_util.tree_map(repl, inner[label],
+                                          is_leaf=is_leaf)
+    return opt_state._replace(inner_states=inner)
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
@@ -85,17 +219,21 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     if cfg.mode == "adam":
         opt = optax.adam(lr)
     elif cfg.mode == "adamw":
-        return optax.adamw(lr, weight_decay=cfg.weight_decay)
+        opt = optax.adamw(lr, weight_decay=cfg.weight_decay)
     elif cfg.mode == "sgd":
         opt = optax.sgd(lr, momentum=0.9)
     else:
         raise ValueError(f"unknown optimizer {cfg.mode}")
-    if cfg.weight_decay:
+    if cfg.weight_decay and cfg.mode != "adamw":
         # torch-style coupled L2: the reference forwards weight_decay to
         # torch.optim.Adam/SGD (helpers.py:553-568), which adds wd*param to
         # the gradient before the update — add_decayed_weights BEFORE the
         # optimizer transform reproduces that (decoupled decay is adamw)
-        return optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+        opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+    if cfg.scheduler == "plateau":
+        # scaling the post-optimizer update == scaling the lr for every
+        # supported optimizer (the update is linear in lr)
+        opt = optax.chain(opt, host_lr_scale())
     return opt
 
 

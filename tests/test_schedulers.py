@@ -1,0 +1,122 @@
+"""Reference scheduler-group parity (config/scheduler/*.yaml).
+
+cosine = CosineAnnealingLR, cosine_restart = CosineAnnealingWarmRestarts,
+plateau = ReduceLROnPlateau (host-driven controller + opt_state lr scale);
+expdecay/unifmultistep are covered elsewhere.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lossyless_tpu.train.state import (OptimConfig, ReduceLROnPlateau,
+                                       _make_schedule, bind_schedule_steps,
+                                       make_optimizer, make_tx,
+                                       set_plateau_scale)
+
+
+def test_cosine_schedule_shape():
+    cfg = OptimConfig(lr=1e-2, scheduler="cosine", total_steps=1000)
+    s = _make_schedule(cfg)
+    assert np.isclose(float(s(0)), 1e-2)
+    assert np.isclose(float(s(500)), 0.5e-2, rtol=1e-3)
+    assert float(s(1000)) < 1e-6
+
+
+def test_cosine_restart_periods():
+    # T_0=2 epochs of 10 steps, T_mult=2: periods 20, 40, 80 ... lr snaps
+    # back to base at each restart boundary
+    cfg = OptimConfig(lr=1e-2, scheduler="cosine_restart", total_steps=100,
+                      steps_per_epoch=10, restart_t0_epochs=2,
+                      restart_mult=2)
+    s = _make_schedule(cfg)
+    assert np.isclose(float(s(0)), 1e-2)
+    assert float(s(19)) < 1e-3          # end of first period: near 0
+    assert np.isclose(float(s(20)), 1e-2)   # restart
+    assert float(s(59)) < 1e-3          # end of second period (20+40)
+    assert np.isclose(float(s(60)), 1e-2)   # second restart
+
+
+def test_cosine_restart_requires_bound_epochs():
+    cfg = OptimConfig(scheduler="cosine_restart", total_steps=100,
+                      steps_per_epoch=0)
+    try:
+        _make_schedule(cfg)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "steps_per_epoch" in str(e)
+    # bind fills it
+    bound = bind_schedule_steps(dataclasses.replace(cfg, total_steps=0),
+                                100, steps_per_epoch=10)
+    assert bound.total_steps == 100 and bound.steps_per_epoch == 10
+    _make_schedule(bound)
+
+
+def test_plateau_controller_torch_semantics():
+    ctl = ReduceLROnPlateau(factor=0.1, patience=2, threshold=1e-4,
+                            min_scale=0.01, mode="min")
+    assert ctl.step(1.0) == 1.0          # first value becomes best
+    assert ctl.step(0.5) == 1.0          # improvement
+    assert ctl.step(0.5) == 1.0          # bad 1 (rel threshold)
+    assert ctl.step(0.49999) == 1.0      # bad 2 (within threshold)
+    assert ctl.step(0.6) == 0.1          # bad 3 > patience -> reduce
+    assert ctl.step(0.7) == 0.1          # counter reset by the reduction
+    assert ctl.step(0.3) == 0.1          # new best
+    # NaN epochs count as bad, never as best
+    assert ctl.step(float("nan")) == 0.1
+    assert ctl.best == 0.3
+    # min_scale clamp
+    for _ in range(10):
+        ctl.step(10.0)
+    assert ctl.scale >= 0.01
+
+
+def test_plateau_scale_reaches_updates():
+    params = {"w": jnp.ones((4,)), "online_evaluator": {"w": jnp.ones((4,))}}
+    main = OptimConfig(mode="sgd", lr=1.0, scheduler="plateau")
+    online = OptimConfig(mode="sgd", lr=1.0, scheduler="none")
+    tx = make_tx(params, main, online=online)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    up1, st = tx.update(grads, opt_state, params)
+    # scale the MAIN group only; the online group has no scale leaf
+    st = set_plateau_scale(st, 0.25)
+    up2, _ = tx.update(grads, st, params)
+    # sgd(momentum) second-step update differs from the first; compare
+    # against an unscaled second step instead
+    up2_ref, _ = tx.update(grads, set_plateau_scale(st, 1.0), params)
+    assert np.allclose(np.asarray(up2["w"]),
+                       0.25 * np.asarray(up2_ref["w"]))
+    assert np.allclose(np.asarray(up2["online_evaluator"]["w"]),
+                       np.asarray(up2_ref["online_evaluator"]["w"]))
+
+
+def test_plateau_group_addressing():
+    params = {"w": jnp.ones((2,)), "online_evaluator": {"w": jnp.ones((2,))}}
+    cfg = OptimConfig(mode="sgd", lr=1.0, scheduler="plateau")
+    tx = make_tx(params, cfg, online=cfg)
+    st = tx.init(params)
+    st = set_plateau_scale(st, 0.5, label="online")
+    grads = jax.tree.map(jnp.ones_like, params)
+    up, _ = tx.update(grads, st, params)
+    assert np.allclose(np.asarray(up["online_evaluator"]["w"]),
+                       0.5 * np.asarray(up["w"]))
+
+
+def test_plateau_optimizer_is_lr_equivalent():
+    # scaling the post-optimizer update == using a scaled lr, for adam too
+    params = {"w": jnp.arange(4.0)}
+    grads = {"w": jnp.asarray([0.1, -0.2, 0.3, -0.4])}
+    a = make_optimizer(OptimConfig(mode="adam", lr=1e-3,
+                                   scheduler="plateau"))
+    sa = a.init(params)
+    sa = jax.tree_util.tree_map(
+        lambda s: s, sa)  # no-op; state untouched before update
+    up_a, _ = a.update(grads, sa, params)
+    b = optax.adam(1e-3)
+    up_b, _ = b.update(grads, b.init(params), params)
+    assert np.allclose(np.asarray(up_a["w"]), np.asarray(up_b["w"]))
