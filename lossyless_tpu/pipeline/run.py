@@ -353,10 +353,24 @@ def run_featurizer(cfg: ExperimentConfig):
             train_ds.device_sampler(bsz), steps_per_epoch,
             data_sharding=data_sh if n_dev > 1 else None)
 
+    # checkpoint@bestTrainLoss parity: `trainer.monitor="train_<metric>"`
+    # monitors the epoch-mean TRAIN metric instead of a validation metric
+    # (reference config/checkpoint/bestTrainLoss.yaml). Gathered only when
+    # requested — per-step device_get would serialize dispatch otherwise.
+    monitor_train_key = (cfg.trainer.monitor[len("train_"):]
+                         if cfg.trainer.monitor.startswith("train_")
+                         else None)
+
     for epoch in range(start_epoch, cfg.data_feat.n_epochs):
+        train_monitor = float("nan")
+        step_logs_refs = []  # non-fused path, train monitor only
         if epoch_fn is not None:
             state, logs = epoch_fn(
                 state, jax.random.key(cfg.trainer.seed + epoch))
+            if monitor_train_key is not None:
+                v = jax.device_get(logs).get(monitor_train_key)
+                if v is not None:
+                    train_monitor = float(np.mean(np.asarray(v)))
             if cfg.trainer.log_every:
                 # logs are per-step stacks: emit one row per log_every
                 # steps (mean over the window) — reference-granularity
@@ -385,10 +399,17 @@ def run_featurizer(cfg: ExperimentConfig):
                 step_host = epoch * steps_per_epoch + i
                 state, logs = train_step(
                     state, batch, jax.random.key(step_host))
+                if monitor_train_key is not None and \
+                        monitor_train_key in logs:
+                    # keep the device scalar; ONE gather at epoch end
+                    step_logs_refs.append(logs[monitor_train_key])
                 if cfg.trainer.log_every and \
                         (step_host + 1) % cfg.trainer.log_every == 0:
                     logger.log(step_host + 1,
                                namespaced(logs, "train", "feat"))
+            if step_logs_refs:
+                train_monitor = float(np.mean(
+                    np.asarray(jax.device_get(step_logs_refs))))
 
         # epoch-end validation + checkpointing
         acc = MetricAccumulator()
@@ -414,8 +435,11 @@ def run_featurizer(cfg: ExperimentConfig):
         # a diverged epoch's metrics are dropped by the accumulator, so a
         # missing monitor means NaN — never 0.0, which would win "best"
         # forever under mode=min and pin the export to diverged weights
-        monitor_val = val.get(cfg.trainer.monitor,
-                              val.get("loss", float("nan")))
+        if monitor_train_key is not None:
+            monitor_val = train_monitor
+        else:
+            monitor_val = val.get(cfg.trainer.monitor,
+                                  val.get("loss", float("nan")))
         ckpt.maybe_save_best(host_state, int(state.step), monitor_val)
         if plateau_ctl is not None:
             prev = plateau_ctl.scale

@@ -89,3 +89,36 @@ def test_cli_multirun_sweep(tmp_path):
     betas = {seg for d in dirs for seg in str(d).split("/")
              if seg.startswith("beta_")}
     assert betas == {"beta_5.0e-02", "beta_2.0e-01"}
+
+
+def test_train_loss_monitor(tmp_path):
+    """checkpoint@bestTrainLoss parity: trainer.monitor=train_loss selects
+    the best epoch by epoch-mean TRAIN loss (and feeds the plateau
+    controller the same value)."""
+    from lossyless_tpu.cli import main
+
+    metrics = main([
+        "banana_viz_VIC", "data_feat.n_epochs=2",
+        "data_feat.kwargs.length=4096", "predictor.n_epochs=1",
+        "trainer.monitor=train_loss",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ])
+    assert np.isfinite(metrics["test/feat/loss"])
+    # a best checkpoint was actually selected under the train monitor
+    best = list(Path(tmp_path, "ckpt").rglob("best*"))
+    assert best, "no best checkpoint written under train-loss monitoring"
+
+
+def test_train_loss_monitor_nonfused(tmp_path):
+    """Same as above through the per-step (non-fused) train loop."""
+    from lossyless_tpu.cli import main
+
+    metrics = main([
+        "banana_viz_VIC", "data_feat.n_epochs=1",
+        "data_feat.kwargs.length=4096", "predictor.n_epochs=1",
+        "trainer.monitor=train_loss", "trainer.use_fused_epochs=False",
+        f"out_dir={tmp_path}/results", f"ckpt_dir={tmp_path}/ckpt",
+    ])
+    assert np.isfinite(metrics["test/feat/loss"])
+    best = list(Path(tmp_path, "ckpt").rglob("best*"))
+    assert best, "no best checkpoint written under train-loss monitoring"
