@@ -75,8 +75,23 @@ def make_one(beta: str) -> None:
     print(f"{beta}: {bits:.2f} bits/img -> {out}")
 
 
-def _save_grouped(out, z, streams, z_hat):
-    """Save [z_streams, side_streams] grouped byte strings + decoded z_hat."""
+def _save_grouped(out, z, streams, z_hat, variables):
+    """Save [z_streams, side_streams] grouped byte strings + decoded z_hat.
+
+    The module variables ride along (``params/``- and ``batch_stats/``-
+    prefixed, ``/``-joined keys) so the fixture is a self-contained
+    (params, z) -> bytes contract: changing the framework's *init defaults*
+    must not invalidate the byte pins — only a genuine coding-path change
+    may."""
+    from flax import traverse_util
+
+    flat = {}
+    for col in ("params", "batch_stats"):
+        tree = variables.get(col)
+        if tree:
+            for k, v in traverse_util.flatten_dict(
+                    jax.device_get(tree)).items():
+                flat[f"{col}/" + "/".join(k)] = np.asarray(v)
     z_streams, side_streams = streams
     np.savez(
         out,
@@ -87,6 +102,7 @@ def _save_grouped(out, z, streams, z_hat):
         side_stream_bytes=np.frombuffer(b"".join(side_streams), np.uint8),
         side_stream_lens=np.asarray([len(s) for s in side_streams],
                                     np.int64),
+        **flat,
     )
 
 
@@ -106,7 +122,8 @@ def make_hyper() -> None:
                             jax.device_get(bs) if bs else None)
     streams = coder.compress(z)
     z_hat = coder.decompress(streams)
-    _save_grouped(OUT_DIR / "streams_hyper.npz", z, streams, z_hat)
+    _save_grouped(OUT_DIR / "streams_hyper.npz", z, streams, z_hat,
+                  variables)
     bits = 8 * sum(len(s) for grp in streams for s in grp) / len(z)
     print(f"hyper: {bits:.2f} bits/sample")
 
@@ -129,7 +146,8 @@ def make_spatial() -> None:
                                    jax.device_get(bs) if bs else None)
     streams = coder.compress(z)
     z_hat = coder.decompress(streams, batch_size=len(z))
-    _save_grouped(OUT_DIR / "streams_spatial.npz", z, streams, z_hat)
+    _save_grouped(OUT_DIR / "streams_spatial.npz", z, streams, z_hat,
+                  variables)
     bits = 8 * sum(len(s) for grp in streams for s in grp) / len(z)
     print(f"spatial: {bits:.2f} bits/sample")
 

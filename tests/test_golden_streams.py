@@ -93,22 +93,32 @@ def _load_grouped(name):
     return f, [split("z"), split("side")]
 
 
+def _fixture_variables(f):
+    """Rebuild {params, batch_stats} from the fixture's flattened arrays —
+    the fixture pins (params, z) -> bytes, independent of init defaults."""
+    from flax import traverse_util
+
+    out = {}
+    for col in ("params", "batch_stats"):
+        flat = {tuple(k[len(col) + 1:].split("/")): f[k]
+                for k in f.files if k.startswith(col + "/")}
+        if flat:
+            out[col] = traverse_util.unflatten_dict(flat)
+    assert "params" in out, "fixture predates self-contained params"
+    return out
+
+
 def test_golden_hyperprior_streams():
     """Pin the GaussianConditional chain byte-exactly: scale-table CDF
     build, indexed rANS, EB side stream (reference rates.py:697-722)."""
-    import jax
-
     from lossyless_tpu.compressors.rates import (HRateHyperprior,
                                                  HyperpriorCoder, RateConfig)
 
     f, golden_streams = _load_grouped("streams_hyper.npz")
     module = HRateHyperprior(16, RateConfig(mode="H_hyper", side_z_dim=10))
-    z = jnp.asarray(f["z"])
-    variables = module.init({"params": jax.random.key(0)}, z, None,
-                            training=True, rng=jax.random.key(1))
-    bs = variables.get("batch_stats")
-    coder = HyperpriorCoder(module, jax.device_get(variables["params"]),
-                            jax.device_get(bs) if bs else None)
+    variables = _fixture_variables(f)
+    coder = HyperpriorCoder(module, variables["params"],
+                            variables.get("batch_stats"))
 
     streams = coder.compress(f["z"])
     assert len(streams) == len(golden_streams)  # zip must not truncate
@@ -129,13 +139,9 @@ def test_golden_spatial_streams():
     module = HRateHyperpriorSpatial(64, 4, RateConfig(mode="H_spatial",
                                                       n_channels=4,
                                                       side_z_dim=3))
-    z = jnp.asarray(f["z"])
-    variables = module.init({"params": jax.random.key(0)}, z, None,
-                            training=True, rng=jax.random.key(1))
-    bs = variables.get("batch_stats")
-    coder = SpatialHyperpriorCoder(module,
-                                   jax.device_get(variables["params"]),
-                                   jax.device_get(bs) if bs else None)
+    variables = _fixture_variables(f)
+    coder = SpatialHyperpriorCoder(module, variables["params"],
+                                   variables.get("batch_stats"))
     streams = coder.compress(f["z"])
     assert len(streams) == len(golden_streams)  # zip must not truncate
     for grp, ggrp in zip(streams, golden_streams):
