@@ -241,9 +241,17 @@ class GalaxyZooDataset:
     synthetic: bool = False
     synthetic_n: int = 2048
     seed: int = 0
+    # training resolution (reference galaxy64/galaxy256 configs pass
+    # dataset_kwargs.resolution; default 128 = config/data/galaxy.yaml);
+    # jpegs are resized at load, so any ingested dump serves every size
+    resolution: int = 0
 
     def __post_init__(self):
         self.spec = GALAXY_ZOO_SPEC
+        if self.resolution:
+            self.spec = dataclasses.replace(
+                self.spec, shape=(self.resolution, self.resolution,
+                                  self.spec.shape[2]))
         if self.equivalence is None:
             self.equivalence = self.spec.default_equivalence
         from .augmentations import build_augmenter

@@ -178,8 +178,11 @@ def _hypopt_optuna(base_cfg, space, monitor, n_trials, direction, seed,
 
         metrics = run_fn(cfg)
         # failed/missing trials must be the WORST value for the direction
-        value = metrics.get(monitor, worst)
-        return value if np.isfinite(value) else worst
+        # (None-valued monitors included, like the built-in searcher)
+        value = metrics.get(monitor)
+        if value is None or not np.isfinite(value):
+            value = worst
+        return value
 
     pruner = optuna.pruners.MedianPruner() if prune else None
     study = optuna.create_study(direction=direction, pruner=pruner)
