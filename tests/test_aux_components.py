@@ -258,3 +258,19 @@ def test_hypopt_optuna_prune_wiring(monkeypatch, tmp_path):
     assert [t["pruned"] for t in res["trials"]] == [False, True, False, True]
     assert "loss.beta" in res["best"]["params"]
     assert res["direction"] == "minimize"
+
+
+def test_train_step_bench_harness():
+    """bin/train_step_bench.py measures a real preset step (CPU, tiny)."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "tsb", root / "bin" / "train_step_bench.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rec = m.bench_preset("banana_viz_VIC", batch=32, reps=4)
+    assert rec["final_loss_finite"]
+    assert rec["ms_per_step"] > 0
+    assert rec["precision"] in ("fp32", "bf16")
