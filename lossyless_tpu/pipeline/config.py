@@ -282,6 +282,19 @@ def _set_attr(obj, name, value):
 
 
 def preset(name: str) -> ExperimentConfig:
+    cfg = _preset_impl(name)
+    # reference default is HALF-precision training (trainer.precision: 16,
+    # config/main.yaml:124); only the banana scripts pin 32
+    # (bin/banana/*.sh:46-47). bf16 is the TPU analog — measured 1.59x on
+    # the stl10_bince train step (PERF.md "Training-step throughput").
+    # CLI/test overrides run after preset() and still win.
+    if not cfg.experiment.startswith("banana") and \
+            cfg.trainer.precision == "fp32":
+        cfg.trainer = dataclasses.replace(cfg.trainer, precision="bf16")
+    return cfg
+
+
+def _preset_impl(name: str) -> ExperimentConfig:
     if name in ("banana_viz_VIC", "banana_vic"):
         # bin/banana/banana_viz_VIC.sh
         return ExperimentConfig(
