@@ -113,3 +113,19 @@ def test_trainer_precision_flag(tmp_path):
         f"out_dir={tmp_path}/r", f"ckpt_dir={tmp_path}/c",
     ])
     assert np.isfinite(m["test/feat/loss"])
+
+
+def test_preset_precision_default():
+    """Non-banana presets default to bf16 like the reference's
+    trainer.precision: 16 (config/main.yaml:124); banana scripts pin 32
+    (bin/banana/*.sh); dotted overrides still win."""
+    from lossyless_tpu.pipeline.config import (apply_overrides,
+                                               available_presets, preset)
+
+    for name in available_presets():
+        cfg = preset(name)
+        want = "fp32" if cfg.experiment.startswith("banana") else "bf16"
+        assert cfg.trainer.precision == want, (name, cfg.trainer.precision)
+
+    cfg = apply_overrides(preset("mnist_vic"), ["trainer.precision=fp32"])
+    assert cfg.trainer.precision == "fp32"
