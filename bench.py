@@ -48,6 +48,14 @@ BATCH = int(_os.environ.get("BENCH_BATCH", 512))        # fuller MXU occupancy
 N_BATCHES = int(_os.environ.get("BENCH_N_BATCHES", 32))
 
 
+def _median(sorted_vals):
+    """Median of an ascending-sorted list (one definition for every
+    headline in this bench — encode and decode use the same protocol)."""
+    n = len(sorted_vals)
+    return sorted_vals[n // 2] if n % 2 else \
+        0.5 * (sorted_vals[n // 2 - 1] + sorted_vals[n // 2])
+
+
 def _probe_device(timeout_s: float = 180.0) -> None:
     """Fail fast if the device (or its tunnel) is unresponsive.
 
@@ -220,8 +228,7 @@ def main():
     RUNS = int(_os.environ.get("BENCH_RUNS", 3))
     runs = [measure_run(100 * (i + 1)) for i in range(RUNS)]
     rates = sorted(r[0] for r in runs)
-    img_per_sec = rates[len(rates) // 2] if RUNS % 2 else \
-        0.5 * (rates[RUNS // 2 - 1] + rates[RUNS // 2])
+    img_per_sec = _median(rates)
     streams, last_syms = runs[-1][1], runs[-1][2]
     bits = 8 * np.mean([len(s) for s in streams])
 
@@ -240,8 +247,7 @@ def main():
         # equal the last window's device symbols exactly
         assert np.array_equal(decoded, last_syms), "decode roundtrip mismatch"
     dec_rates.sort()
-    decode_img_per_sec = dec_rates[len(dec_rates) // 2] if RUNS % 2 else \
-        0.5 * (dec_rates[RUNS // 2 - 1] + dec_rates[RUNS // 2])
+    decode_img_per_sec = _median(dec_rates)
 
     # device capacity: same program, but only the scalar overflow counter
     # leaves the device — no 4MB symbol readback per window, so the number

@@ -55,6 +55,9 @@ def bench_preset(name: str, batch: int, reps: int,
     ds = instantiate_datamodule(cfg, cfg.data_feat)
     model = LearnableCompressor(cfg.compressor_config())
 
+    # clamp like the pipeline does: batches() drops the last partial batch,
+    # so --batch > len(ds) would otherwise yield nothing (StopIteration)
+    batch = min(batch, len(ds))
     host = next(ds.batches(batch, n_epochs=1, seed=0))
     batch_dev = jax.device_put(tuple(jnp.asarray(a) for a in host))
     state = TrainState.create(model, batch_dev, jax.random.key(0),

@@ -327,21 +327,28 @@ def run_featurizer(cfg: ExperimentConfig):
     val_ds = _val_dataset(cfg, cfg.data_feat)
     start_epoch = int(state.step) // steps_per_epoch
 
-    # plateau scheduler: ONE host controller on the checkpoint monitor
-    # drives the lr scale of every plateau-labeled optimizer group (the
-    # reference's per-group ReduceLROnPlateau instances all monitor the
-    # same checkpoint metric, config/scheduler/plateau.yaml); settings come
-    # from the featurizer optimizer. The scale itself rides in opt_state.
-    plateau_ctl = None
-    if any(o.scheduler == "plateau"
-           for o in (opt_feat, opt_online, opt_coder)):
-        from ..train.state import ReduceLROnPlateau
-        plateau_ctl = ReduceLROnPlateau(
-            factor=opt_feat.plateau_factor,
-            patience=opt_feat.plateau_patience,
-            threshold=opt_feat.plateau_threshold,
-            min_scale=opt_feat.plateau_min_lr / max(opt_feat.lr, 1e-30),
-            mode=cfg.trainer.monitor_mode)
+    # plateau scheduler: one host controller PER plateau-labeled optimizer
+    # group, all monitoring the same checkpoint metric (the reference's
+    # per-group ReduceLROnPlateau instances, config/scheduler/plateau.yaml)
+    # but each with its own factor/patience/min_lr. The scale itself rides
+    # in opt_state (HostLRScaleState), so after a resume the controller is
+    # re-seeded from the restored leaf — a fresh 1.0 controller would jump
+    # the lr back UP on its first post-resume reduction.
+    plateau_ctls = {}
+    for lbl, o in (("main", opt_feat), ("online", opt_online),
+                   ("coder", opt_coder)):
+        if o.scheduler == "plateau":
+            from ..train.state import ReduceLROnPlateau, get_plateau_scale
+            ctl = ReduceLROnPlateau(
+                factor=o.plateau_factor,
+                patience=o.plateau_patience,
+                threshold=o.plateau_threshold,
+                min_scale=o.plateau_min_lr / max(o.lr, 1e-30),
+                mode=cfg.trainer.monitor_mode)
+            restored_scale = get_plateau_scale(state.opt_state, lbl)
+            if restored_scale is not None:
+                ctl.scale = restored_scale
+            plateau_ctls[lbl] = ctl
 
     # fused path: datasets exposing a device sampler train each epoch as ONE
     # XLA program (sampling + augmentation + steps_per_epoch updates) —
@@ -367,10 +374,11 @@ def run_featurizer(cfg: ExperimentConfig):
         if epoch_fn is not None:
             state, logs = epoch_fn(
                 state, jax.random.key(cfg.trainer.seed + epoch))
-            if monitor_train_key is not None:
-                v = jax.device_get(logs).get(monitor_train_key)
-                if v is not None:
-                    train_monitor = float(np.mean(np.asarray(v)))
+            if monitor_train_key is not None and monitor_train_key in logs:
+                # transfer ONE (n_steps,) stack, not every metric — the
+                # full device_get is per-epoch readback on a flaky tunnel
+                v = jax.device_get(logs[monitor_train_key])
+                train_monitor = float(np.mean(np.asarray(v)))
             if cfg.trainer.log_every:
                 # logs are per-step stacks: emit one row per log_every
                 # steps (mean over the window) — reference-granularity
@@ -441,14 +449,14 @@ def run_featurizer(cfg: ExperimentConfig):
             monitor_val = val.get(cfg.trainer.monitor,
                                   val.get("loss", float("nan")))
         ckpt.maybe_save_best(host_state, int(state.step), monitor_val)
-        if plateau_ctl is not None:
-            prev = plateau_ctl.scale
-            new_scale = plateau_ctl.step(float(monitor_val))
+        for lbl, ctl in plateau_ctls.items():
+            prev = ctl.scale
+            new_scale = ctl.step(float(monitor_val))
             if new_scale != prev:  # only touch device state on a reduction
                 from ..train.state import set_plateau_scale
                 state = jax.device_put(
                     state.replace(opt_state=set_plateau_scale(
-                        state.opt_state, new_scale)), repl)
+                        state.opt_state, new_scale, label=lbl)), repl)
 
     # restore best weights, export weights-only (main.py:516-528)
     best = ckpt.restore(jax.device_get(state), "best")
@@ -705,11 +713,20 @@ def run_predictor(cfg: ExperimentConfig, model, state, train_ds, val_ds) -> dict
 
         preds = trainer.predict(z_te)
         ids = getattr(pred_val, "ids", None)
-        if ids is None:  # synthetic/no-egress fallback: positional ids
+        if ids is None and getattr(pred_val, "synthetic", False):
+            # synthetic/no-egress plumbing check only: positional ids,
+            # flagged as such so the file can't be mistaken for uploadable
             ids = np.arange(len(preds)) + 1
-        sub_path = write_kaggle_submission(
-            ids, preds, stage_dir / "kaggle_submission.csv")
-        metrics["kaggle_submission"] = str(sub_path)
+            metrics["kaggle_submission_ids"] = "synthetic_positional"
+        if ids is not None:
+            sub_path = write_kaggle_submission(
+                ids, preds, stage_dir / "kaggle_submission.csv")
+            metrics["kaggle_submission"] = str(sub_path)
+        else:
+            # real-data run whose predictor split is train-derived (no
+            # kaggle ids): emitting fabricated ids would score garbage —
+            # skip, and say why in the results row
+            metrics["kaggle_submission"] = "skipped_no_ids"
     write_results_csv(stage_dir, "predictor", metrics)
     mark_stage_done(stage_dir, "predictor")
     return metrics

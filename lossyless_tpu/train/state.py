@@ -191,6 +191,22 @@ class ReduceLROnPlateau:
         return self.scale
 
 
+def get_plateau_scale(opt_state, label: str) -> float | None:
+    """Read the HostLRScaleState scale of one multi_transform group, or
+    None when that group's optimizer doesn't chain host_lr_scale. Used to
+    re-seed the host plateau controller after a checkpoint restore — the
+    restored opt_state carries the reduced scale, and a fresh controller
+    starting at 1.0 would otherwise JUMP the lr back up on its first
+    reduction (max(1.0*factor, min) > restored scale)."""
+    leaves = [
+        s for s in jax.tree_util.tree_leaves(
+            opt_state.inner_states[label],
+            is_leaf=lambda s: isinstance(s, HostLRScaleState))
+        if isinstance(s, HostLRScaleState)
+    ]
+    return float(leaves[0].scale) if leaves else None
+
+
 def set_plateau_scale(opt_state, scale: float, label: str | None = None):
     """Write `scale` into every HostLRScaleState leaf (one multi_transform
     group when `label` is given, all groups otherwise). Groups whose

@@ -120,3 +120,29 @@ def test_plateau_optimizer_is_lr_equivalent():
     b = optax.adam(1e-3)
     up_b, _ = b.update(grads, b.init(params), params)
     assert np.allclose(np.asarray(up_a["w"]), np.asarray(up_b["w"]))
+
+
+def test_get_plateau_scale_roundtrip():
+    """get_plateau_scale reads back the per-group HostLRScaleState — the
+    seed for re-creating the host controller after a checkpoint resume."""
+    from lossyless_tpu.train.state import get_plateau_scale
+
+    params = {"w": jnp.ones((2,)), "online_evaluator": {"w": jnp.ones((2,))}}
+    cfg = OptimConfig(mode="sgd", lr=1.0, scheduler="plateau")
+    none_cfg = OptimConfig(mode="sgd", lr=1.0, scheduler="none")
+    tx = make_tx(params, cfg, online=none_cfg)
+    st = tx.init(params)
+    assert get_plateau_scale(st, "main") == 1.0
+    assert get_plateau_scale(st, "online") is None  # no host_lr_scale leaf
+    st = set_plateau_scale(st, 0.04, label="main")
+    assert get_plateau_scale(st, "main") == np.float32(0.04)
+
+
+def test_plateau_controller_resume_does_not_raise_lr():
+    """A controller re-seeded from the restored scale keeps reducing DOWN:
+    a fresh 1.0 controller would jump a resumed 0.04 scale back to 0.2."""
+    ctl = ReduceLROnPlateau(factor=0.2, patience=0, mode="min")
+    ctl.scale = 0.04  # seeded from the restored HostLRScaleState
+    ctl.step(1.0)     # first epoch sets best
+    s = ctl.step(2.0)  # plateau -> reduction
+    assert abs(s - 0.04 * 0.2) < 1e-9
