@@ -13,7 +13,8 @@ mlp_pallas (fused MLP half-block), ln_bf16, full_last (class-token-only
 final block OFF, the pre-round-3 default), attn_g8/attn_g32 (attention
 kernel block-size sweep), attn_p4/p8/p16[_g32] (images packed per MXU
 dot — measured full-tower LOSSES, PERF.md round 4), attn_hb (head-batched
-dots — also a measured loss).
+dots — also a measured loss), attn_bf16sm (bf16 softmax inside the fused
+kernel, non-parity dtype).
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
                 mlp_impl: str = "xla", ln_dtype: str = "float32",
                 cls_only_last: bool = True, attn_block: int | None = None,
                 attn_pack: int | None = None, head_batch: bool = False,
+                softmax_dtype: str | None = None,
                 reps: int = 12) -> dict:
     # cls_only_last defaults True to match VisionTransformer's framework
     # default, so 'b512' benchmarks the actual default config; use the
@@ -48,11 +50,14 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     saved_block = flash_attn.BLOCK_LIMIT
     saved_pack = flash_attn.IMAGE_PACK
     saved_hb = flash_attn.HEAD_BATCH
+    saved_sm = flash_attn.SOFTMAX_DTYPE
     if attn_block is not None:
         flash_attn.BLOCK_LIMIT = attn_block
     if attn_pack is not None:
         flash_attn.IMAGE_PACK = attn_pack
     flash_attn.HEAD_BATCH = head_batch
+    if softmax_dtype is not None:
+        flash_attn.SOFTMAX_DTYPE = jnp.dtype(softmax_dtype)
 
     eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
     eb_params = {k: jnp.asarray(v) for k, v in eb_params_np.items()}
@@ -91,6 +96,7 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     flash_attn.BLOCK_LIMIT = saved_block
     flash_attn.IMAGE_PACK = saved_pack
     flash_attn.HEAD_BATCH = saved_hb
+    flash_attn.SOFTMAX_DTYPE = saved_sm
     return {"variant": name, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1),
@@ -119,6 +125,9 @@ VARIANTS = {
     "attn_p8_g32": dict(batch=512, attn_pack=8, attn_block=32),
     # all heads folded into one pair of batched dots per grid step
     "attn_hb": dict(batch=512, head_batch=True),
+    # bf16 logits buffer + softmax arithmetic inside the fused kernel
+    # (non-parity dtype; fp32 is the default — see flash_attn.SOFTMAX_DTYPE)
+    "attn_bf16sm": dict(batch=512, softmax_dtype="bfloat16"),
 }
 
 

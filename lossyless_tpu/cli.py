@@ -17,7 +17,12 @@ import sys
 
 
 def main(argv=None):
+    from .core.mesh import respect_platform_env
     from .pipeline.config import available_presets
+
+    # honor `JAX_PLATFORMS=cpu python -m lossyless_tpu.cli ...` even when a
+    # site hook pre-imported jax with a stale platform default
+    respect_platform_env()
 
     parser = argparse.ArgumentParser(
         description=__doc__,

@@ -28,6 +28,23 @@ DATA_AXIS = "data"
 _distributed_initialized = False
 
 
+def respect_platform_env():
+    """Re-assert `JAX_PLATFORMS` from the environment into jax's config.
+
+    jax normally reads the variable itself, but when a site hook (or any
+    parent module) imported jax before the user's environment override was
+    in effect, the config default can be stale and `JAX_PLATFORMS=cpu
+    python -m lossyless_tpu...` would silently land on the accelerator.
+    Safe to call any time before first backend use; no-op when the
+    variable is unset or the config already matches.
+    """
+    import os
+
+    p = os.environ.get("JAX_PLATFORMS")
+    if p and jax.config.jax_platforms != p:
+        jax.config.update("jax_platforms", p)
+
+
 def init_distributed():
     """Initialize multi-host JAX if launched in a multi-process environment.
 

@@ -206,6 +206,11 @@ def _add_model_flags(p):
 
 
 def main(argv=None) -> int:
+    from ..core.mesh import respect_platform_env
+
+    # honor `JAX_PLATFORMS=cpu python -m lossyless_tpu.hub.cli ...` even
+    # when a site hook pre-imported jax with a stale platform default
+    respect_platform_env()
     parser = argparse.ArgumentParser(prog="lossyless_tpu.hub.cli",
                                      description=__doc__.split("\n\n")[0])
     sub = parser.add_subparsers(dest="cmd", required=True)

@@ -50,7 +50,10 @@ def _reference_attention(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
 def _attn_kernel(qkv_ref, out_ref, *, heads: int):
     D = out_ref.shape[-1]
     d = D // heads
-    scale = d**-0.5
+    # Mosaic requires a 32-bit matmul accumulator, so the logits dot always
+    # produces fp32; SOFTMAX_DTYPE only narrows the max/exp/sum chain
+    sm_dtype = SOFTMAX_DTYPE
+    scale = jnp.asarray(d**-0.5, sm_dtype)
     for h in range(heads):
         q = qkv_ref[:, :, h * d:(h + 1) * d]
         k = qkv_ref[:, :, D + h * d:D + (h + 1) * d]
@@ -58,7 +61,7 @@ def _attn_kernel(qkv_ref, out_ref, *, heads: int):
         # (G, N, d) x (G, N, d) -> (G, N, N), batched over the image block
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32).astype(sm_dtype) * scale
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(out_ref.dtype)
@@ -92,6 +95,17 @@ IMAGE_PACK = 1
 # sublane-transpose relayout per operand ((G, N, H, d) -> (G, H, N, d)).
 # Opt-in for A/B via device_step_bench variant attn_hb.
 HEAD_BATCH = False
+
+# Dtype of the softmax arithmetic (max/exp/sum) inside the fused kernel
+# (per-head and cls paths). The logits MXU dot itself always accumulates
+# fp32 (Mosaic rejects bf16 matmul accumulators); with bf16 the product is
+# narrowed before the reduction chain, halving its VPU traffic and the
+# (G, N, N) live buffer. fp32 is the reference-parity default (torch
+# computes fp16-input softmax in fp32 too); the per-row sum spans only
+# N=50 bf16 terms so the bf16 error stays ~1e-2 relative, but it is NOT
+# the parity dtype: opt-in A/B knob (device_step_bench variant
+# attn_bf16sm).
+SOFTMAX_DTYPE = jnp.float32
 
 
 def _block_size(B: int, limit: int | None = None) -> int:
@@ -306,15 +320,16 @@ def _reference_attention_cls(q0: jnp.ndarray, kv: jnp.ndarray,
 def _attn_cls_kernel(q_ref, kv_ref, out_ref, *, heads: int):
     D = out_ref.shape[-1]
     d = D // heads
-    scale = d**-0.5
+    sm_dtype = SOFTMAX_DTYPE
+    scale = jnp.asarray(d**-0.5, sm_dtype)
     for h in range(heads):
         q = q_ref[:, :, h * d:(h + 1) * d]
         k = kv_ref[:, :, h * d:(h + 1) * d]
         v = kv_ref[:, :, D + h * d:D + (h + 1) * d]
-        # (G, 1, d) x (G, N, d) -> (G, 1, N)
+        # (G, 1, d) x (G, N, d) -> (G, 1, N); fp32 acc (Mosaic requirement)
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32).astype(sm_dtype) * scale
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(out_ref.dtype)

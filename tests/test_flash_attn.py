@@ -74,6 +74,30 @@ def test_headbatched_kernel_matches_einsum():
         flash_attn.HEAD_BATCH = saved
 
 
+def test_softmax_dtype_bf16_close_to_fp32():
+    """SOFTMAX_DTYPE=bf16 (opt-in A/B knob) stays within bf16 rounding of
+    the fp32-softmax default on both the full and cls kernels — the
+    per-row sum spans only N terms, so no catastrophic accumulation."""
+    from lossyless_tpu.nn import flash_attn
+    from lossyless_tpu.nn.flash_attn import fused_attention_cls
+
+    qkv = _qkv(B=8, N=50, D=96, dtype=jnp.bfloat16)
+    kv = qkv[:, :, 96:]  # (B, N, 2D) for the cls kernel
+    q0 = qkv[:, :1, :96]
+    ref = _reference_attention(qkv, 4).astype(jnp.float32)
+    ref_cls = fused_attention_cls(q0, kv, 4, True).astype(jnp.float32)
+    saved = flash_attn.SOFTMAX_DTYPE
+    try:
+        flash_attn.SOFTMAX_DTYPE = jnp.bfloat16
+        out = fused_attention(qkv, 4, True).astype(jnp.float32)
+        out_cls = fused_attention_cls(q0, kv, 4, True).astype(jnp.float32)
+    finally:
+        flash_attn.SOFTMAX_DTYPE = saved
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
+    np.testing.assert_allclose(np.asarray(out_cls), np.asarray(ref_cls),
+                               atol=3e-2)
+
+
 def test_packed_kernel_grad_routes_through_einsum():
     from lossyless_tpu.nn import flash_attn
 
