@@ -41,23 +41,37 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     # cls_only_last defaults True to match VisionTransformer's framework
     # default, so 'b512' benchmarks the actual default config; use the
     # 'full_last' variant for the pre-flip A/B.
-    from lossyless_tpu.coding import entropy_bottleneck as eb
-    from lossyless_tpu.hub.load_reference import load_factorized_rate
-    from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, VisionTransformer
-
     from lossyless_tpu.nn import flash_attn
 
     saved_block = flash_attn.BLOCK_LIMIT
     saved_pack = flash_attn.IMAGE_PACK
     saved_hb = flash_attn.HEAD_BATCH
     saved_sm = flash_attn.SOFTMAX_DTYPE
-    if attn_block is not None:
-        flash_attn.BLOCK_LIMIT = attn_block
-    if attn_pack is not None:
-        flash_attn.IMAGE_PACK = attn_pack
-    flash_attn.HEAD_BATCH = head_batch
-    if softmax_dtype is not None:
-        flash_attn.SOFTMAX_DTYPE = jnp.dtype(softmax_dtype)
+    try:
+        if attn_block is not None:
+            flash_attn.BLOCK_LIMIT = attn_block
+        if attn_pack is not None:
+            flash_attn.IMAGE_PACK = attn_pack
+        flash_attn.HEAD_BATCH = head_batch
+        if softmax_dtype is not None:
+            flash_attn.SOFTMAX_DTYPE = jnp.dtype(softmax_dtype)
+        return _run_variant_body(name, batch, attn_impl, mlp_impl, ln_dtype,
+                                 cls_only_last, reps)
+    finally:
+        # restore even when a variant raises mid-run (e.g. a Mosaic
+        # verification error): a leaked override would corrupt every later
+        # variant's measurement in the same process
+        flash_attn.BLOCK_LIMIT = saved_block
+        flash_attn.IMAGE_PACK = saved_pack
+        flash_attn.HEAD_BATCH = saved_hb
+        flash_attn.SOFTMAX_DTYPE = saved_sm
+
+
+def _run_variant_body(name, batch, attn_impl, mlp_impl, ln_dtype,
+                      cls_only_last, reps) -> dict:
+    from lossyless_tpu.coding import entropy_bottleneck as eb
+    from lossyless_tpu.hub.load_reference import load_factorized_rate
+    from lossyless_tpu.nn.vit import CLIP_MEAN, CLIP_STD, VisionTransformer
 
     eb_params_np, scaling_np, biasing_np = load_factorized_rate("b005")
     eb_params = {k: jnp.asarray(v) for k, v in eb_params_np.items()}
@@ -91,12 +105,6 @@ def run_variant(name: str, batch: int, attn_impl: str = "auto",
     # dispatch would add one tunnel round trip to every sample
     best, min_s = pipelined_iqm(
         lambda r: step(params, bits, jnp.uint8(r)), reps)
-    # restore the module defaults so later variants in the same process
-    # measure what their name says (attn_g*/attn_p* must not leak)
-    flash_attn.BLOCK_LIMIT = saved_block
-    flash_attn.IMAGE_PACK = saved_pack
-    flash_attn.HEAD_BATCH = saved_hb
-    flash_attn.SOFTMAX_DTYPE = saved_sm
     return {"variant": name, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "img_per_sec_device": round(batch / best, 1),

@@ -35,14 +35,36 @@ def respect_platform_env():
     parent module) imported jax before the user's environment override was
     in effect, the config default can be stale and `JAX_PLATFORMS=cpu
     python -m lossyless_tpu...` would silently land on the accelerator.
-    Safe to call any time before first backend use; no-op when the
-    variable is unset or the config already matches.
+    No-op when the variable is unset; otherwise initializes the backend to
+    VERIFY the platform actually took effect (both callers are CLI mains
+    that use the backend immediately), warning when a site hook already
+    initialized a different one.
     """
     import os
+    import warnings
 
     p = os.environ.get("JAX_PLATFORMS")
-    if p and jax.config.jax_platforms != p:
+    if not p:
+        return
+    if jax.config.jax_platforms != p:
         jax.config.update("jax_platforms", p)
+    # the config update is silently ineffective once any backend-touching op
+    # has initialized the platform (a site hook that did more than `import
+    # jax`); verify the backend actually matches so the CLI can't silently
+    # land on the accelerator — the exact failure this helper exists to fix
+    requested = p.split(",")[0].strip().lower()
+    try:
+        actual = jax.default_backend()
+    except RuntimeError as e:  # e.g. requested platform not available
+        raise RuntimeError(
+            f"JAX_PLATFORMS={p} requested but no backend for it is "
+            f"available") from e
+    if requested and actual != requested:
+        warnings.warn(
+            f"JAX_PLATFORMS={p} requested but jax already initialized the "
+            f"'{actual}' backend (a site hook touched the backend before "
+            f"this process could re-point it); computations will run on "
+            f"'{actual}'", RuntimeWarning, stacklevel=2)
 
 
 def init_distributed():

@@ -225,6 +225,13 @@ def fused_attention(qkv: jnp.ndarray, heads: int,
     pack = min(IMAGE_PACK, G)
     while G % pack:
         pack -= 1
+    if (pack > 1 or HEAD_BATCH) and SOFTMAX_DTYPE != jnp.float32:
+        # the packed and head-batched kernels hardcode fp32 softmax (their
+        # logits buffers are fp32 accumulators); silently ignoring the knob
+        # would make an attn_p*/attn_hb + bf16-softmax A/B measure nothing
+        raise NotImplementedError(
+            "SOFTMAX_DTYPE != float32 is only honored by the per-head and "
+            "cls kernels; unset IMAGE_PACK/HEAD_BATCH or keep fp32 softmax")
     if pack > 1:
         # rebudget the block size for the packed buffers: per image the
         # kernel additionally holds its share of the fp32 (M, M) logits /
