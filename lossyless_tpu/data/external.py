@@ -2,10 +2,12 @@
 
 These read the on-disk layouts materialized by `data.ingest` (or by the
 official distributions) *lazily* — paths are indexed at construction, jpegs
-are decoded per batch on the host while the device computes the previous
-batch — because these datasets don't fit the in-memory `ImageDataset` design
-(reference equivalents: ImageNetDataset utils/data/images.py:676-731,
-CocoClipDataset :1261-1362, GalaxyDataset :1137-1257).
+are decoded per batch by the `data.loader` thread pool on a prefetch thread
+while the device computes the previous batch — because these datasets don't
+fit the in-memory `ImageDataset` design (reference equivalents:
+ImageNetDataset utils/data/images.py:676-731, CocoClipDataset :1261-1362,
+GalaxyDataset :1137-1257; the reference's decode parallelism is the torch
+DataLoader's 16 worker processes).
 
 Contract: same as every datamodule here — `len()`, `spec`,
 `batches(batch_size, n_epochs, seed) -> (x, y, aux)` float batches.
@@ -29,15 +31,12 @@ GALAXY_ZOO_SPEC = ImageSpec("galaxy_zoo", (128, 128, 3), 37,
 
 
 def _load_jpeg_batch(paths, size) -> np.ndarray:
-    from PIL import Image
+    # thread-pool decode (data.loader): a serial PIL loop here would starve
+    # the chip — the reference decodes on 16 DataLoader workers
+    # (hub/compressor.py:186-189); identical bytes at any worker count
+    from .loader import decode_image_batch
 
-    out = np.empty((len(paths), size[0], size[1], 3), np.uint8)
-    for i, p in enumerate(paths):
-        img = Image.open(p).convert("RGB")
-        if img.size != (size[1], size[0]):
-            img = img.resize((size[1], size[0]), Image.BICUBIC)
-        out[i] = np.asarray(img, np.uint8)
-    return out
+    return decode_image_batch(paths, size)
 
 
 @dataclasses.dataclass
@@ -105,6 +104,16 @@ class StreamingImageFolder:
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
                 shuffle: bool = True, drop_last: bool = True):
+        """Prefetched batch stream: decode/augment of batch i+1 runs on a
+        background thread while the consumer dispatches batch i (identical
+        bytes to the inline generator — data.loader contract)."""
+        from .loader import prefetch
+
+        return prefetch(self._iter_batches(batch_size, n_epochs, seed,
+                                           shuffle, drop_last))
+
+    def _iter_batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
+                      shuffle: bool = True, drop_last: bool = True):
         import jax
 
         h, w, _ = self.spec.shape
@@ -197,6 +206,14 @@ class CocoClipDataset:
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
                 shuffle: bool = True, drop_last: bool = True):
+        """Prefetched batch stream (see StreamingImageFolder.batches)."""
+        from .loader import prefetch
+
+        return prefetch(self._iter_batches(batch_size, n_epochs, seed,
+                                           shuffle, drop_last))
+
+    def _iter_batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
+                      shuffle: bool = True, drop_last: bool = True):
         import jax
 
         h, w, _ = self.spec.shape
@@ -301,6 +318,14 @@ class GalaxyZooDataset:
 
     def batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
                 shuffle: bool = True, drop_last: bool = True):
+        """Prefetched batch stream (see StreamingImageFolder.batches)."""
+        from .loader import prefetch
+
+        return prefetch(self._iter_batches(batch_size, n_epochs, seed,
+                                           shuffle, drop_last))
+
+    def _iter_batches(self, batch_size: int, n_epochs: int = 1, seed: int = 0,
+                      shuffle: bool = True, drop_last: bool = True):
         import jax
 
         h, w, _ = self.spec.shape

@@ -135,27 +135,26 @@ def load_image_folder(root: Path, size: tuple[int, int],
 
     The on-disk layout the reference's tfds ingestion produces
     (`TensorflowBaseDataset`, utils/data/images.py:735-865: tfds download ->
-    jpeg folders): `root/<class_name>/<img>.jpg`. Images are resized to
-    `size` with PIL (host-side, done once at load).
+    jpeg folders): `root/<class_name>/<img>.jpg`. Images are decoded+resized
+    to `size` by the `data.loader` thread pool (host-side, done once at
+    load; e.g. Caltech101's ~9k jpegs decode in parallel at construction).
     """
-    from PIL import Image
+    from .loader import decode_image_batch
 
     root = Path(root)
     classes = sorted(d.name for d in root.iterdir() if d.is_dir())
     if not classes:
         raise FileNotFoundError(f"no class subdirectories under {root}")
-    imgs, labels = [], []
+    paths, labels = [], []
     for ci, cname in enumerate(classes):
         for f in sorted((root / cname).iterdir()):
-            if f.suffix.lower() not in extensions:
-                continue
-            img = Image.open(f).convert("RGB").resize(size[::-1],
-                                                      Image.BICUBIC)
-            imgs.append(np.asarray(img, np.uint8))
-            labels.append(ci)
-    if not imgs:
+            if f.suffix.lower() in extensions:
+                paths.append(f)
+                labels.append(ci)
+    if not paths:
         raise FileNotFoundError(f"no images under {root}")
-    return np.stack(imgs), np.asarray(labels, np.int64), classes
+    return (decode_image_batch(paths, size), np.asarray(labels, np.int64),
+            classes)
 
 
 def _synthetic(spec: ImageSpec, split: str, n: int, seed: int):

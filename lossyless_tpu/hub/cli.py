@@ -52,17 +52,28 @@ def _iter_folder(root: Path):
 
 
 def _folder_batches(root: Path, batch_size: int, preprocess):
-    from PIL import Image
+    """Prefetched folder batches: `preprocess` (the thread-pool PIL decode,
+    `nn.vit.pil_clip_preprocess` / raw stack) runs one batch ahead on a
+    background thread so the compress loop's device dispatch never waits on
+    JPEG decode — the reference's num_workers=16 DataLoader equivalent
+    (hub/compressor.py:186-189). Batches are byte-identical to the inline
+    loop (data.loader contract)."""
+    from ..data.loader import prefetch
 
-    imgs, labels = [], []
-    for path, label in _iter_folder(root):
-        imgs.append(Image.open(path))
-        labels.append(label)
-        if len(imgs) == batch_size:
+    def gen():
+        from PIL import Image
+
+        imgs, labels = [], []
+        for path, label in _iter_folder(root):
+            imgs.append(Image.open(path))  # lazy: decode happens in the pool
+            labels.append(label)
+            if len(imgs) == batch_size:
+                yield preprocess(imgs), _labels_or_none(labels)
+                imgs, labels = [], []
+        if imgs:
             yield preprocess(imgs), _labels_or_none(labels)
-            imgs, labels = [], []
-    if imgs:
-        yield preprocess(imgs), _labels_or_none(labels)
+
+    return prefetch(gen())
 
 
 def _labels_or_none(labels):

@@ -334,8 +334,7 @@ def pil_clip_preprocess(images, size: int = 224) -> np.ndarray:
     """
     from PIL import Image
 
-    out = []
-    for im in images:
+    def _one(im):
         pil = im if isinstance(im, Image.Image) else Image.fromarray(im)
         if pil.mode != "RGB":
             pil = pil.convert("RGB")
@@ -346,8 +345,15 @@ def pil_clip_preprocess(images, size: int = 224) -> np.ndarray:
         left, top = (nw - size) // 2, (nh - size) // 2
         pil = pil.crop((left, top, left + size, top + size))
         arr = np.asarray(pil).astype(np.float32) / 255.0
-        out.append((arr - CLIP_MEAN) / CLIP_STD)
-    return np.stack(out).astype(np.float32)
+        return (arr - CLIP_MEAN) / CLIP_STD
+
+    # thread-pool per-image map (PIL releases the GIL in decode/resize);
+    # ordered, so the batch is byte-identical to the serial loop — the
+    # reference parallelizes this transform across DataLoader workers
+    from ..data.loader import decode_map
+
+    images = images if isinstance(images, (list, tuple)) else list(images)
+    return np.stack(decode_map(_one, images)).astype(np.float32)
 
 
 def convert_openai_clip_weights(torch_state_dict) -> dict:

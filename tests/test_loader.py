@@ -1,0 +1,190 @@
+"""Parallel prefetching input pipeline: determinism + pipelining contract.
+
+The loader replaces the serial PIL loop the datasets/CLI used through round
+4 with the reference's DataLoader-equivalent (16-worker decode + prefetch,
+reference hub/compressor.py:186-189). These tests pin the core contract:
+IDENTICAL bytes at any worker count and prefetch depth, plus exception
+transparency and prompt shutdown of abandoned prefetch threads.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from lossyless_tpu.data import loader
+
+
+@pytest.fixture
+def img_tree(tmp_path):
+    """Class-per-subdir folder of mixed-size jpegs/pngs."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for ci, cname in enumerate(["a", "b"]):
+        d = tmp_path / "imgs" / cname
+        d.mkdir(parents=True)
+        for i in range(7):
+            h, w = int(rng.integers(40, 90)), int(rng.integers(40, 90))
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            p = d / (f"{i}.jpg" if i % 2 else f"{i}.png")
+            Image.fromarray(arr).save(p)
+            paths.append(p)
+    return tmp_path / "imgs", paths
+
+
+def _with_workers(monkeypatch, n):
+    monkeypatch.setenv("LOSSYLESS_LOADER_WORKERS", str(n))
+
+
+def test_decode_image_batch_matches_serial(img_tree, monkeypatch):
+    """Pool decode == the serial PIL loop, byte for byte."""
+    from PIL import Image
+
+    _, paths = img_tree
+    size = (48, 56)
+    expect = np.empty((len(paths), 48, 56, 3), np.uint8)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB")
+        if img.size != (56, 48):
+            img = img.resize((56, 48), Image.BICUBIC)
+        expect[i] = np.asarray(img, np.uint8)
+
+    for workers in (0, 1, 4):
+        _with_workers(monkeypatch, workers)
+        got = loader.decode_image_batch(paths, size)
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_decode_map_ordered(monkeypatch):
+    _with_workers(monkeypatch, 4)
+    items = list(range(64))
+    assert loader.decode_map(lambda i: i * i, items) == [i * i for i in items]
+
+
+def test_prefetch_preserves_order_and_values():
+    src = [np.full((3,), i) for i in range(20)]
+    got = list(loader.prefetch(iter(src), depth=3))
+    assert len(got) == 20
+    for i, g in enumerate(got):
+        np.testing.assert_array_equal(g, src[i])
+
+
+def test_prefetch_depth_zero_is_inline():
+    gen = iter(range(5))
+    assert list(loader.prefetch(gen, depth=0)) == [0, 1, 2, 3, 4]
+
+
+def test_prefetch_propagates_exceptions():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = loader.prefetch(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Closing the consumer early must stop the producer thread promptly
+    even when it is blocked on a full queue."""
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = loader.prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # triggers the finally: stop + drain + join
+    n_after_close = len(produced)
+    time.sleep(0.3)
+    # producer stopped: no unbounded production after close
+    assert len(produced) == n_after_close
+    assert n_after_close < 1000
+
+
+def test_prefetch_actually_overlaps():
+    """With a slow producer and slow consumer, prefetch wall time approaches
+    max(P, C) rather than P + C (allowing generous margin for CI jitter)."""
+    n, p_t, c_t = 8, 0.02, 0.02
+
+    def gen():
+        for i in range(n):
+            time.sleep(p_t)
+            yield i
+
+    t0 = time.perf_counter()
+    for _ in loader.prefetch(gen(), depth=2):
+        time.sleep(c_t)
+    overlapped = time.perf_counter() - t0
+
+    serial = n * (p_t + c_t)
+    assert overlapped < serial * 0.85, (overlapped, serial)
+
+
+def test_streaming_folder_identical_across_workers(img_tree, monkeypatch):
+    """StreamingImageFolder yields byte-identical (x, y, aux) batches with
+    serial decode + no prefetch vs pooled decode + prefetch."""
+    from lossyless_tpu.data.external import StreamingImageFolder
+
+    root, _ = img_tree
+
+    def run(workers, depth):
+        _with_workers(monkeypatch, workers)
+        monkeypatch.setenv("LOSSYLESS_PREFETCH_DEPTH", str(depth))
+        ds = StreamingImageFolder(name="imgs", split=".", data_dir=root.parent,
+                                  additional_target="equiv_x")
+        return [tuple(np.asarray(a) for a in b)
+                for b in ds.batches(4, n_epochs=2, seed=3)]
+
+    serial = run(0, 0)
+    parallel = run(8, 3)
+    assert len(serial) == len(parallel) > 0
+    for s, p in zip(serial, parallel):
+        for a, b in zip(s, p):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_cli_folder_batches_identical_across_workers(img_tree, monkeypatch):
+    """hub.cli._folder_batches + pil_clip_preprocess: same batches with the
+    pool on and off (the deployment path's byte-identity guarantee)."""
+    from lossyless_tpu.hub.cli import _folder_batches
+    from lossyless_tpu.nn.vit import pil_clip_preprocess
+
+    root, _ = img_tree
+
+    def run(workers, depth):
+        _with_workers(monkeypatch, workers)
+        monkeypatch.setenv("LOSSYLESS_PREFETCH_DEPTH", str(depth))
+        out = []
+        for x, y in _folder_batches(root, 4, pil_clip_preprocess):
+            out.append((np.asarray(x), None if y is None else np.asarray(y)))
+        return out
+
+    serial = run(0, 0)
+    parallel = run(6, 2)
+    assert len(serial) == len(parallel) > 0
+    for (xs, ys), (xp, yp) in zip(serial, parallel):
+        np.testing.assert_array_equal(xs, xp)
+        if ys is None:
+            assert yp is None
+        else:
+            np.testing.assert_array_equal(ys, yp)
+
+
+def test_load_image_folder_parallel_identical(img_tree, monkeypatch):
+    from lossyless_tpu.data.images import load_image_folder
+
+    root, _ = img_tree
+    _with_workers(monkeypatch, 0)
+    x0, y0, c0 = load_image_folder(root, (64, 64))
+    _with_workers(monkeypatch, 8)
+    x1, y1, c1 = load_image_folder(root, (64, 64))
+    np.testing.assert_array_equal(x0, x1)
+    np.testing.assert_array_equal(y0, y1)
+    assert c0 == c1
