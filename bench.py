@@ -37,6 +37,24 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC = 347.82  # reference STL10 encode (README.md:53)
 DECODE_BASELINE = 1062.38      # reference unbatched CPU decode (README.md:66)
+NORTH_STAR = 5000.0            # BASELINE.json target img/s/chip on v5e
+PEAK_BF16_FLOPS = 197e12       # v5e peak dense bf16 (PERF.md headroom chapter)
+
+
+def _tower_flops_per_img() -> float:
+    """Analytic forward FLOPs (2x MACs) of CLIP ViT-B/32 at 224px.
+
+    Patchify conv + 12 x (QKV/out projections + attention dots + 4x MLP)
+    + final head projection. Preferred over XLA cost_analysis because the
+    benchmark program also contains the XOR-salt preprocess and quantize
+    (byte-bound, ~0 FLOPs) and cost_analysis availability varies by backend;
+    used for the self-interpreting `device_mfu` field.
+    """
+    n, d, layers, ff, p = 50, 768, 12, 3072, 32
+    per_layer = 2 * (4 * n * d * d + 2 * n * n * d + 2 * n * d * ff)
+    patchify = 2 * n * d * (p * p * 3)
+    head = 2 * d * 512
+    return float(layers * per_layer + patchify + head)
 
 import os as _os
 
@@ -283,6 +301,13 @@ def main():
         "decode_vs_baseline": round(decode_img_per_sec / DECODE_BASELINE, 3),
         "decode_spread": [round(dec_rates[0], 2), round(dec_rates[-1], 2)],
         "device_capacity_img_per_sec": round(device_capacity, 2),
+        # self-interpreting perf context (VERDICT r4 #7): achieved model
+        # FLOP utilization of the tower at the headline rate vs v5e peak
+        # bf16, and the fraction of the BASELINE.json 5k img/s north star
+        "device_mfu": round(img_per_sec * _tower_flops_per_img()
+                            / PEAK_BF16_FLOPS, 4),
+        "flops_per_img": round(_tower_flops_per_img()),
+        "vs_north_star": round(img_per_sec / NORTH_STAR, 3),
     }))
 
 
