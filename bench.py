@@ -132,7 +132,8 @@ def main():
     # would make every scan step re-read 2x the bytes just to downcast
     # (LayerNorm params are upcast back to fp32 inside the fp32 LN islands)
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
-    tables = eb.build_cdf_tables(eb_params_np)
+    # hub-default arithmetic: tables bit-faithful to the reference coder
+    tables = eb.build_cdf_tables(eb_params_np, arithmetic="compressai")
     # auto thread count (cpu_count-matched): oversubscribing a small host
     # only adds scheduler churn alongside the device-readback path
     codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset)

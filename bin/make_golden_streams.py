@@ -44,7 +44,9 @@ N_IMG = 16
 def make_one(beta: str) -> None:
     eb_params, scaling, biasing = load_factorized_rate(beta)
     params = {k: jnp.asarray(v) for k, v in eb_params.items()}
-    tables = eb.build_cdf_tables(eb_params)
+    # "compressai" arithmetic: the hub default, bit-faithful to the
+    # reference coder's torch-fp32 update() (entropy_bottleneck.py)
+    tables = eb.build_cdf_tables(eb_params, arithmetic="compressai")
     codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset)
 
     # deterministic pseudo-features, unit-ball-ish like real CLIP embeddings

@@ -98,7 +98,7 @@ def check_beta(beta: str, n: int) -> dict:
     from lossyless_tpu.hub.load_reference import load_factorized_rate
 
     eb_params, _scaling, _biasing = load_factorized_rate(beta)
-    tables = eb.build_cdf_tables(eb_params)
+    tables = eb.build_cdf_tables(eb_params, arithmetic="compressai")
     entropy, _, esc_mass = model_entropy_bits(tables)
     # expected coded bits/img: entropy + 4-bit bypass nibble per escape
     # (self-sampled escapes carry raw_val 0 -> exactly one nibble each)

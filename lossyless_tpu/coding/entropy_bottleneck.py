@@ -193,13 +193,32 @@ class CdfTables:
     offset: np.ndarray         # (n,) int32
 
 
-def build_cdf_tables(params) -> CdfTables:
+def build_cdf_tables(params, arithmetic: str = "float64") -> CdfTables:
     """Build per-channel quantized CDFs from the learned density.
 
     The effective tail mass is whatever the learned quantiles encode (they
     are trained against `aux_loss`'s TAIL_MASS target); there is no separate
     knob here.
+
+    `arithmetic` picks the float pipeline the pmf is evaluated in:
+
+    * ``"float64"`` (default) — numpy float64. Torch-free, best-conditioned,
+      and what this framework's own fixtures pin. Use for self-consistent
+      encode/decode within this framework.
+    * ``"compressai"`` — torch float32, op-for-op the arithmetic of
+      CompressAI's ``EntropyBottleneck.update()`` (the coder the reference
+      imports, lossyless/rates.py:12-17). CompressAI evaluates the pmf in
+      torch fp32 with the sign-conditional sigmoid; fp32 roundoff decides
+      a handful of lround boundaries per published checkpoint (measured:
+      7-14 of 512 channels differ from the float64 build on b001/b005/b01,
+      tests/test_eb_torch_fuzz.py), and rANS requires EXACT table equality
+      to cross-decode — so interop with reference-encoded streams must
+      build tables this way. Requires torch.
     """
+    if arithmetic == "compressai":
+        return _compressai_fp32_tables(params)
+    if arithmetic != "float64":
+        raise ValueError(f"unknown arithmetic={arithmetic!r}")
     from .rans import pmf_to_quantized_cdf
 
     p = {k: np.asarray(v, dtype=np.float64) for k, v in params.items()}
@@ -230,4 +249,68 @@ def build_cdf_tables(params) -> CdfTables:
         quantized_cdf=cdf,
         cdf_length=(pmf_length + 2).astype(np.int32),
         offset=(-minima).astype(np.int32),
+    )
+
+
+def _compressai_fp32_tables(params) -> CdfTables:
+    """Torch-fp32 table build, bit-faithful to CompressAI's update().
+
+    Mirrors EntropyBottleneck.update() + _pmf_to_cdf from CompressAI 1.1.x
+    (the exact coder behind the reference's rates.py:286-305): float32
+    throughout, torch's own softplus/tanh/sigmoid kernels, the
+    sign-conditional sigmoid difference, int support bounds from fp32 ceil.
+    numpy fp32 CANNOT substitute — torch's vectorized transcendentals differ
+    from libm by ~1 ulp, which measurably flips lround boundaries
+    (tests/test_eb_torch_fuzz.py). Hence torch (CPU) is required for this
+    mode; it is a host-side, setup-time dependency only — nothing in the
+    jit/TPU compute path touches it.
+    """
+    import torch  # deliberate: the only way to reproduce CompressAI's bits
+
+    from .rans import pmf_to_quantized_cdf
+
+    tp = {k: torch.as_tensor(np.asarray(v), dtype=torch.float32)
+          for k, v in params.items()}
+    n = sum(1 for k in tp if k.startswith("matrix"))
+
+    def logits(x):
+        u = x
+        for k in range(n):
+            m = torch.nn.functional.softplus(tp[f"matrix{k}"])
+            u = torch.matmul(m, u) + tp[f"bias{k}"]
+            if k < n - 1:
+                u = u + torch.tanh(tp[f"factor{k}"]) * torch.tanh(u)
+        return u
+
+    q = tp["quantiles"]
+    med = q[:, 0, 1]
+    minima = torch.clamp(torch.ceil(med - q[:, 0, 0]).int(), min=0)
+    maxima = torch.clamp(torch.ceil(q[:, 0, 2] - med).int(), min=0)
+    pmf_start = med - minima.float()
+    pmf_length = maxima + minima + 1
+    max_length = int(pmf_length.max())
+
+    samples = torch.arange(max_length).float()[None, None, :] \
+        + pmf_start[:, None, None]
+    half = float(0.5)
+    lower = logits(samples - half)
+    upper = logits(samples + half)
+    sign = -torch.sign(lower + upper)
+    pmf = torch.abs(torch.sigmoid(sign * upper)
+                    - torch.sigmoid(sign * lower))[:, 0, :]
+    tail = torch.sigmoid(lower[:, 0, 0]) + torch.sigmoid(-upper[:, 0, -1])
+
+    n_ch = pmf.shape[0]
+    cdf = np.zeros((n_ch, max_length + 2), dtype=np.int32)
+    for c in range(n_ch):
+        # .tolist() widens the exact fp32 values like CompressAI's
+        # prob.tolist() -> vector<float> boundary (x*65536 is exact either
+        # way: power-of-two scaling does not round)
+        prob = pmf[c, : int(pmf_length[c])].tolist() + [float(tail[c])]
+        row = pmf_to_quantized_cdf(np.asarray(prob, np.float64))
+        cdf[c, : len(row)] = row
+    return CdfTables(
+        quantized_cdf=cdf,
+        cdf_length=(pmf_length + 2).numpy().astype(np.int32),
+        offset=(-minima).numpy().astype(np.int32),
     )

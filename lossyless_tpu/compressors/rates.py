@@ -338,13 +338,42 @@ class FactorizedCoder:
         return self.process_out(z_hat)
 
 
+def _host_mlp_forward(params: dict, x: np.ndarray) -> np.ndarray:
+    """NumPy forward of `nn.mlp.MLP` as the rate estimators build it
+    (identity norm, relu, no dropout — rates.py:213-217): Dense_0..Dense_{n-1}
+    with relu between all but the last. Pure host work, fp32."""
+    x = np.asarray(x, np.float32).reshape(len(x), -1)
+    n_dense = len(params)
+    for i in range(n_dense):
+        p = params[f"Dense_{i}"]
+        x = x @ np.asarray(p["kernel"], np.float32) \
+            + np.asarray(p["bias"], np.float32)
+        if i < n_dense - 1:
+            x = np.maximum(x, 0.0, out=x)
+    return x
+
+
+def _host_build_indexes(scales: np.ndarray,
+                        scale_table: np.ndarray) -> np.ndarray:
+    """NumPy mirror of `gc.build_indexes` (same semantics: index of the
+    smallest table scale >= element scale)."""
+    st = np.asarray(scale_table[:-1], np.float32)
+    s = np.maximum(np.asarray(scales, np.float32), np.float32(scale_table[0]))
+    return np.searchsorted(st, s, side="left").astype(np.int32)
+
+
 class HyperpriorCoder:
     """compress/decompress for HRateHyperprior (rates.py:697-722).
 
     Two streams per sample: EB-coded side info, then the main latent coded
     against per-element conditional Gaussians whose scale/mean come from the
-    decoded side info. The side/z encoder MLPs run jitted on device; symbol
-    <-> byte conversion is the threaded host codec.
+    decoded side info. The sender's side-encoder runs jitted on device (it
+    consumes the full latent batch); everything the RECEIVER needs — the
+    z-encoder MLP that maps decoded side info to Gaussian params, the index
+    build, and the output affine — runs as pure host numpy, matching the
+    reference's CPU-only decode (README.md:64-66). Compress uses the SAME
+    host functions for indexes/means, so sender and receiver agree
+    bit-exactly by construction (no cross-backend fp32 boundary ties).
     """
 
     def __init__(self, module: "HRateHyperprior", params: dict,
@@ -367,7 +396,15 @@ class HyperpriorCoder:
         self.z_codec = RansCodec(z_tables.quantized_cdf, z_tables.cdf_length,
                                  z_tables.offset)
 
-        import jax
+        # host-side copies of the receiver path (zero device dispatches in
+        # decompress; on a tunneled chip each dispatch costs more than the
+        # whole decode)
+        self._z_encoder_np = jax.tree.map(lambda v: np.asarray(v, np.float32),
+                                          dict(params["z_encoder"]))
+        self._out_scale_np = np.exp(
+            np.asarray(params["affine"]["scaling"], np.float32))
+        self._biasing_np = np.asarray(params["affine"]["biasing"], np.float32)
+        self._is_pred_mean = module.cfg.is_pred_mean
 
         def _encode_side(x):
             def fn(m, z):
@@ -376,29 +413,15 @@ class HyperpriorCoder:
                 return z_in, side_z
             return module.apply(self.variables, x, method=fn)
 
-        def _gaussian_params(side_z_hat):
-            def fn(m, s):
-                return m._gaussian_params(s, False)
-            return module.apply(self.variables, side_z_hat, method=fn)
-
-        def _process_out(z_hat):
-            def fn(m, z):
-                return m.affine.process_out(z)
-            return module.apply(self.variables, z_hat, method=fn)
-
         self._encode_side = jax.jit(_encode_side)
-        self._gaussian_params = jax.jit(_gaussian_params)
-        self._process_out = jax.jit(_process_out)
 
     def _indexes_means(self, side_z_hat_np):
-        import jax.numpy as jnp
-
-        scales, means = self._gaussian_params(jnp.asarray(side_z_hat_np))
-        scales = np.asarray(scales)
-        means = np.asarray(means) if means is not None else None
-        idx = np.asarray(gc.build_indexes(jnp.asarray(scales),
-                                          self.scale_table))
-        return idx, means
+        gp = _host_mlp_forward(self._z_encoder_np, side_z_hat_np)
+        if self._is_pred_mean:
+            scales, means = np.split(gp, 2, axis=-1)
+        else:
+            scales, means = gp, None
+        return _host_build_indexes(scales, self.scale_table), means
 
     def compress(self, z) -> list[list[bytes]]:
         z_in, side_z = map(np.asarray, self._encode_side(np.asarray(z)))
@@ -422,7 +445,8 @@ class HyperpriorCoder:
         z_symbols = self.z_codec.decode_batch_varidx(z_streams, indexes)
         z_hat = z_symbols.astype(np.float32) + \
             (means if means is not None else 0.0)
-        return np.asarray(self._process_out(z_hat))
+        # output affine on host: decompress never touches the device
+        return z_hat / self._out_scale_np - self._biasing_np
 
 
 class SpatialHyperpriorCoder:

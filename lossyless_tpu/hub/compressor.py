@@ -52,7 +52,8 @@ class ClipCompressor:
 
     def __init__(self, eb_params, scaling, biasing, clip_params=None,
                  dtype=jnp.bfloat16, seed: int = 0, mesh=None, model=None,
-                 raw_input_hw: tuple | None = None):
+                 raw_input_hw: tuple | None = None,
+                 table_arithmetic: str = "compressai"):
         """`mesh`: optional `jax.sharding.Mesh` with a "data" axis — batches
         are sharded over it so `compress_dataset` scales across chips
         (dataset-axis scaling, SURVEY.md §5.7); weights are replicated.
@@ -65,6 +66,14 @@ class ClipCompressor:
         fused into the encode program — one dispatch per batch, and only
         H*W*3 uint8 bytes/img cross the host->device boundary (the reference
         preprocesses on CPU dataloader workers via PIL, hub/compressor.py:39).
+        `table_arithmetic`: float pipeline for the CDF-table build.
+        "compressai" (default) reproduces CompressAI's torch-fp32 update()
+        bit-for-bit so streams cross-decode with the reference hub
+        (requires torch, host-side setup only); "float64" is the torch-free
+        numpy build — self-consistent, but 7-14 of 512 channels' tables
+        differ from CompressAI's on the published checkpoints
+        (tests/test_eb_torch_fuzz.py), so do not mix the two across a
+        sender/receiver pair.
         """
         self.z_dim = 512
         self.mesh = mesh
@@ -86,7 +95,8 @@ class ClipCompressor:
         self.biasing = jnp.asarray(biasing, jnp.float32)
 
         eb_np = {k: np.asarray(v) for k, v in eb_params.items()}
-        tables = eb.build_cdf_tables(eb_np)
+        self.table_arithmetic = table_arithmetic
+        tables = eb.build_cdf_tables(eb_np, arithmetic=table_arithmetic)
         self.codec = RansCodec(tables.quantized_cdf, tables.cdf_length,
                                tables.offset)
         self.medians_np = np.asarray(eb.medians(eb_np))

@@ -1,0 +1,296 @@
+"""Differential fuzz: independent torch/py implementation vs the coding stack.
+
+VERDICT r4 missing #3: the "bit-identical bitstreams" claim rested on a
+from-spec port validated only against its own Python mirror — a same-author
+mirror can share a misreading. This module is a THIRD implementation path,
+written independently from the published algorithm definitions rather than
+from this repo's code:
+
+* the entropy-bottleneck density (Ballé et al. 2018 appendix 6.1:
+  c(x) = f_K ∘ ... ∘ f_1(x), f_k(u) = u + a_k ⊙ tanh(u) around affine
+  H_k u + b_k, final sigmoid) evaluated in torch float64 WITHOUT the
+  sign-conditional stability trick the production code uses;
+* the CompressAI CDF-table construction spec (EntropyBottleneck.update():
+  quantile-derived integer support, pmf sampling, +2 tail slot — the layout
+  the reference relies on via lossyless/rates.py:12-17,286-305);
+* the integer CDF quantizer/repair algorithm (CompressAI
+  cpp_exts/rans/rans_interface.cpp::pmf_to_quantized_cdf) in pure Python
+  ints, loop-for-loop from the published algorithm, not from csrc/rans.cpp.
+
+The fuzz drives random channel counts / filter stacks / parameter values
+(plus the real published b005 checkpoint) and requires:
+
+* likelihoods agree to fp32 tolerance (different evaluation order/precision);
+* the final integer tables (quantized_cdf, cdf_length, offset) agree
+  EXACTLY — these are the wire contract; any misreading shared by
+  entropy_bottleneck.py and its numpy mirror but not by the spec shows up
+  here as an integer mismatch.
+
+The remaining gap (cross-decoding against compressai itself) needs egress;
+RUNBOOK.md records the one-command interop check for the first machine that
+has it.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+from lossyless_tpu.coding import entropy_bottleneck as eb
+
+# ---------------------------------------------------------------------------
+# Independent implementation (torch float64 + pure-python ints)
+# ---------------------------------------------------------------------------
+
+
+def _torch_cdf_logits(params: dict, x: torch.Tensor) -> torch.Tensor:
+    """Logit of the model CDF; x shape (C, 1, N), float64.
+
+    Straight from the density definition: K affine layers with softplus-
+    reparameterized matrices, interleaved gated-tanh nonlinearities.
+    """
+    n_layers = sum(1 for k in params if k.startswith("matrix"))
+    u = x
+    for k in range(n_layers):
+        h = torch.nn.functional.softplus(params[f"matrix{k}"])
+        u = torch.bmm(h, u) + params[f"bias{k}"]
+        if k < n_layers - 1:
+            u = u + torch.tanh(params[f"factor{k}"]) * torch.tanh(u)
+    return u
+
+
+def _torch_likelihood(params: dict, z: torch.Tensor) -> torch.Tensor:
+    """P(round(Z)=z) per element; z shape (batch, C), float64 in/out.
+
+    Direct sigmoid difference — no sign-conditional rearrangement; float64
+    keeps it accurate enough to referee the fp32 production value.
+    """
+    v = z.T.unsqueeze(1)  # (C, 1, B)
+    upper = torch.sigmoid(_torch_cdf_logits(params, v + 0.5))
+    lower = torch.sigmoid(_torch_cdf_logits(params, v - 0.5))
+    return (upper - lower)[:, 0, :].T
+
+
+def _spec_pmf_to_quantized_cdf(pmf, precision: int = 16) -> list:
+    """CompressAI's pmf->CDF integer algorithm, re-derived in python ints.
+
+    Published algorithm (rans_interface.cpp::pmf_to_quantized_cdf):
+    lround each probability to `2^precision` grid, renormalize by integer
+    scaling, cumulative-sum, pin the top to 2^precision, then repair any
+    zero-width symbol by stealing one count from the smallest frequency > 1
+    (first such on ties), shifting the intermediate cumulative values.
+    """
+    scale = 1 << precision
+    freqs = [int(math.floor(float(p) * scale + 0.5)) for p in pmf]  # lround
+    total = sum(freqs)
+    if total <= 0:
+        raise ValueError("pmf has no mass")
+    cdf = [0]
+    for f in freqs:
+        cdf.append(cdf[-1] + (scale * f) // total)
+    cdf[-1] = scale
+    for i in range(len(cdf) - 1):
+        if cdf[i] == cdf[i + 1]:
+            best_freq, best_steal = None, -1
+            for j in range(len(cdf) - 1):
+                freq = cdf[j + 1] - cdf[j]
+                if freq > 1 and (best_freq is None or freq < best_freq):
+                    best_freq, best_steal = freq, j
+            if best_steal < 0:
+                raise ValueError("cannot repair cdf")
+            if best_steal < i:
+                for j in range(best_steal + 1, i + 1):
+                    cdf[j] -= 1
+            else:
+                for j in range(i + 1, best_steal + 1):
+                    cdf[j] += 1
+    return cdf
+
+
+def _spec_build_tables(params_np: dict):
+    """CompressAI EntropyBottleneck.update() spec, on the torch density.
+
+    Returns (quantized_cdf, cdf_length, offset) with the same shapes as
+    `eb.build_cdf_tables` for exact comparison.
+    """
+    tp = {k: torch.as_tensor(np.asarray(v), dtype=torch.float64)
+          for k, v in params_np.items()}
+    q = tp["quantiles"][:, 0, :]                       # (C, 3)
+    med = q[:, 1]
+    minima = torch.clamp(torch.ceil(med - q[:, 0]), min=0).long()
+    maxima = torch.clamp(torch.ceil(q[:, 2] - med), min=0).long()
+    pmf_start = med - minima.double()
+    pmf_length = (maxima + minima + 1).long()
+    max_length = int(pmf_length.max())
+
+    samples = torch.arange(max_length, dtype=torch.float64)[None, :] \
+        + pmf_start[:, None]                           # (C, L)
+    v = samples.unsqueeze(1)                           # (C, 1, L)
+    upper_logit = _torch_cdf_logits(tp, v + 0.5)
+    lower_logit = _torch_cdf_logits(tp, v - 0.5)
+    pmf = (torch.sigmoid(upper_logit) - torch.sigmoid(lower_logit))[:, 0, :]
+    # mass outside the modeled support, folded into the extra slot
+    tail = torch.sigmoid(lower_logit[:, 0, 0]) \
+        + torch.sigmoid(-upper_logit[:, 0, -1])
+
+    n_ch = pmf.shape[0]
+    cdf = np.zeros((n_ch, max_length + 2), dtype=np.int32)
+    for c in range(n_ch):
+        probs = pmf[c, : int(pmf_length[c])].tolist() + [float(tail[c])]
+        row = _spec_pmf_to_quantized_cdf(probs)
+        cdf[c, : len(row)] = row
+    return (cdf, (pmf_length + 2).numpy().astype(np.int32),
+            (-minima).numpy().astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Fuzz drivers
+# ---------------------------------------------------------------------------
+
+
+def _random_params(rng: np.random.Generator) -> dict:
+    """Random but well-posed EB parameters: random depth/widths, perturbed
+    weights, ordered quantiles with positive tails."""
+    import jax
+
+    channels = int(rng.integers(1, 24))
+    depth = int(rng.integers(1, 4))
+    filters = tuple(int(rng.integers(1, 5)) for _ in range(depth))
+    init_scale = float(rng.uniform(2.0, 12.0))
+    params = eb.init_params(eb.EBConfig(channels, filters, init_scale),
+                            jax.random.key(int(rng.integers(2**31))))
+    params = {k: np.asarray(v) for k, v in params.items()}
+    for k in params:
+        if k.startswith(("matrix", "bias", "factor")):
+            params[k] = (params[k]
+                         + rng.normal(0, 0.3, params[k].shape)).astype(
+                             np.float32)
+    med = rng.normal(0, 2.0, (channels,))
+    lo = med - rng.uniform(0.5, init_scale, (channels,))
+    hi = med + rng.uniform(0.5, init_scale, (channels,))
+    params["quantiles"] = np.stack([lo, med, hi], -1)[:, None, :] \
+        .astype(np.float32)
+    return params
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_likelihood_matches_independent_torch(seed):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    params = _random_params(rng)
+    channels = params["quantiles"].shape[0]
+    z = rng.normal(0, 3.0, (64, channels)).astype(np.float32)
+
+    ours = np.asarray(eb.likelihood(
+        {k: jnp.asarray(v) for k, v in params.items()}, jnp.asarray(z)))
+    theirs = _torch_likelihood(
+        {k: torch.as_tensor(v, dtype=torch.float64)
+         for k, v in params.items()},
+        torch.as_tensor(z, dtype=torch.float64)).numpy()
+    # fp32 production vs float64 referee: agreement to fp32 roundoff
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_cdf_tables_match_spec_exactly(seed):
+    """The integer wire contract: same tables from independent code paths."""
+    rng = np.random.default_rng(100 + seed)
+    params = _random_params(rng)
+    ours = eb.build_cdf_tables(params)
+    cdf, length, offset = _spec_build_tables(params)
+    np.testing.assert_array_equal(ours.cdf_length, length)
+    np.testing.assert_array_equal(ours.offset, offset)
+    np.testing.assert_array_equal(ours.quantized_cdf, cdf)
+
+
+@pytest.mark.parametrize("beta", ["b001", "b005", "b01"])
+def test_cdf_tables_vs_spec_on_published_checkpoints(beta):
+    """Spec check on the real published checkpoints.
+
+    Support bounds and lengths must agree exactly. The cumulative counts may
+    differ ONLY as ±1 float-tie artifacts: the referee evaluates the same
+    real-valued pmf in a different order (direct sigmoid vs sign trick), and
+    on trained checkpoints a few entries land within float64 roundoff of an
+    lround/integer-division boundary (measured: 1 channel on b005). Any
+    ALGORITHM misreading (wrong support, wrong tail slot, wrong repair)
+    shifts offsets/lengths or whole rows — which this still catches.
+    """
+    from lossyless_tpu.hub.load_reference import load_factorized_rate
+
+    eb_params, _, _ = load_factorized_rate(beta)
+    params = {k: np.asarray(v) for k, v in eb_params.items()}
+    ours = eb.build_cdf_tables(params)
+    cdf, length, offset = _spec_build_tables(params)
+    np.testing.assert_array_equal(ours.cdf_length, length)
+    np.testing.assert_array_equal(ours.offset, offset)
+    diff = ours.quantized_cdf.astype(np.int64) - cdf
+    assert np.abs(diff).max() <= 1, "more than a rounding tie apart"
+    bad_channels = int((diff != 0).any(1).sum())
+    assert bad_channels <= 3, f"{bad_channels} channels differ: not tie noise"
+
+
+def test_hub_arithmetic_is_compressai_faithful():
+    """The hub's default "compressai" table build must reproduce the
+    torch-fp32 spec EXACTLY on the published checkpoints — fp32 ties are
+    decided by the same torch kernels on both sides, so unlike the float64
+    cross-order check there is no tolerance here. This is the wire contract
+    for cross-decoding with the reference hub (lossyless/rates.py:12-17)."""
+    import torch as _torch  # noqa: F401  (skip cleanly if torch absent)
+
+    from lossyless_tpu.hub.load_reference import load_factorized_rate
+
+    for beta in ("b001", "b005", "b01"):
+        eb_params, _, _ = load_factorized_rate(beta)
+        params = {k: np.asarray(v) for k, v in eb_params.items()}
+        ours = eb.build_cdf_tables(params, arithmetic="compressai")
+
+        # independent torch-fp32 referee: CompressAI's update() pipeline
+        # with the spec quantizer (not csrc/rans.cpp)
+        tp = {k: torch.as_tensor(v, dtype=torch.float32)
+              for k, v in params.items()}
+        q = tp["quantiles"]
+        med = q[:, 0, 1]
+        minima = torch.clamp(torch.ceil(med - q[:, 0, 0]).int(), min=0)
+        maxima = torch.clamp(torch.ceil(q[:, 0, 2] - med).int(), min=0)
+        pmf_start = med - minima.float()
+        pmf_length = maxima + minima + 1
+        max_length = int(pmf_length.max())
+        v = (torch.arange(max_length).float()[None, :]
+             + pmf_start[:, None]).unsqueeze(1)
+        lower = _torch_cdf_logits(tp, v - 0.5)
+        upper = _torch_cdf_logits(tp, v + 0.5)
+        sign = -torch.sign(lower + upper)
+        pmf = torch.abs(torch.sigmoid(sign * upper)
+                        - torch.sigmoid(sign * lower))[:, 0, :]
+        tail = torch.sigmoid(lower[:, 0, 0]) + torch.sigmoid(-upper[:, 0, -1])
+        n_ch = pmf.shape[0]
+        cdf = np.zeros((n_ch, max_length + 2), dtype=np.int32)
+        for c in range(n_ch):
+            probs = pmf[c, : int(pmf_length[c])].tolist() + [float(tail[c])]
+            row = _spec_pmf_to_quantized_cdf(probs)
+            cdf[c, : len(row)] = row
+
+        np.testing.assert_array_equal(
+            ours.cdf_length, (pmf_length + 2).numpy().astype(np.int32))
+        np.testing.assert_array_equal(
+            ours.offset, (-minima).numpy().astype(np.int32))
+        np.testing.assert_array_equal(ours.quantized_cdf, cdf, err_msg=beta)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_pmf_quantizer_matches_spec(seed):
+    """C++ quantizer vs the spec reimplementation, including repair-heavy
+    inputs (near-zero probabilities that force count-stealing)."""
+    from lossyless_tpu.coding.rans import pmf_to_quantized_cdf
+
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(2, 40))
+    pmf = rng.dirichlet(np.full(n, 0.1)).astype(np.float64)
+    if seed % 2:
+        pmf[rng.integers(0, n)] = 1e-12  # forces zero-width repair
+        pmf = pmf / pmf.sum()
+    ours = pmf_to_quantized_cdf(pmf)
+    spec = _spec_pmf_to_quantized_cdf(pmf)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(spec))

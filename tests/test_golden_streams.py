@@ -41,7 +41,7 @@ def test_golden_encode_bytes(beta):
     """Published .pt -> tables -> quantize -> encode reproduces golden bytes."""
     eb_params, scaling, biasing = load_factorized_rate(beta)
     params = {k: jnp.asarray(v) for k, v in eb_params.items()}
-    tables = eb.build_cdf_tables(eb_params)
+    tables = eb.build_cdf_tables(eb_params, arithmetic="compressai")
     codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset)
     f, golden_streams = _load(beta)
 
@@ -62,7 +62,7 @@ def test_golden_encode_bytes(beta):
 def test_golden_decode(beta):
     """Golden byte streams decode to the golden symbols."""
     eb_params, _, _ = load_factorized_rate(beta)
-    tables = eb.build_cdf_tables(eb_params)
+    tables = eb.build_cdf_tables(eb_params, arithmetic="compressai")
     codec = RansCodec(tables.quantized_cdf, tables.cdf_length, tables.offset)
     f, golden_streams = _load(beta)
     decoded = codec.decode_batch(golden_streams, np.arange(512, dtype=np.int32))

@@ -70,3 +70,76 @@ def test_two_stream_roundtrip(hyper):
     actual_bits = 8 * (sum(len(s) for s in streams[0]) +
                        sum(len(s) for s in streams[1])) / len(z)
     assert actual_bits < theo_bits + 200  # rANS flush overhead bound
+
+
+def test_decompress_is_host_only(hyper, monkeypatch):
+    """The receiver makes ZERO device dispatches (VERDICT r4 #3).
+
+    The reference decodes CPU-only (README.md:64-66); on a tunneled chip a
+    single dispatch costs more than the whole decode. Count both dispatch
+    entry points — compiled calls (jit) and eager op-by-op
+    (dispatch.apply_primitive) — across decompress.
+    """
+    import jax._src.dispatch as _dispatch
+    import jax._src.pjit as _pjit
+
+    module, variables, z = hyper
+    coder = HyperpriorCoder(module, variables["params"],
+                            variables.get("batch_stats"))
+    streams = coder.compress(np.asarray(z))  # sender may use the device
+
+    calls = []
+    real_eager = _dispatch.apply_primitive
+    real_pjit = _pjit._pjit_call_impl
+
+    def count_eager(prim, *a, **k):
+        calls.append(("eager", str(prim)))
+        return real_eager(prim, *a, **k)
+
+    def count_pjit(*a, **k):
+        calls.append(("pjit", k.get("name", "?")))
+        return real_pjit(*a, **k)
+
+    monkeypatch.setattr(_dispatch, "apply_primitive", count_eager)
+    monkeypatch.setattr(_pjit, "_pjit_call_impl", count_pjit)
+    z_dec = coder.decompress(streams)
+    assert calls == [], f"decompress dispatched to the device: {calls[:5]}"
+    assert isinstance(z_dec, np.ndarray)
+
+    z_hat_eval, _, _ = module.apply(variables, z, None, training=False)
+    np.testing.assert_allclose(z_dec, np.asarray(z_hat_eval), atol=1e-4)
+
+
+def test_spatial_decompress_is_host_only(monkeypatch):
+    """Same zero-dispatch contract for the spatial coder (delegates to the
+    inner HyperpriorCoder, so this pins the composition too)."""
+    import jax._src.dispatch as _dispatch
+    import jax._src.pjit as _pjit
+
+    from lossyless_tpu.compressors.rates import (HRateHyperpriorSpatial,
+                                                 SpatialHyperpriorCoder)
+
+    module = HRateHyperpriorSpatial(64, 4, RateConfig(mode="H_spatial",
+                                                      n_channels=4,
+                                                      side_z_dim=3))
+    z = jnp.asarray(np.random.default_rng(3).normal(0, 3, (6, 64)),
+                    jnp.float32)
+    variables = module.init({"params": jax.random.key(0)}, z, None,
+                            training=True, rng=jax.random.key(1))
+    coder = SpatialHyperpriorCoder(module, variables["params"],
+                                   variables.get("batch_stats"))
+    streams = coder.compress(np.asarray(z))
+
+    calls = []
+    real_eager = _dispatch.apply_primitive
+    real_pjit = _pjit._pjit_call_impl
+    monkeypatch.setattr(
+        _dispatch, "apply_primitive",
+        lambda prim, *a, **k: (calls.append(str(prim)),
+                               real_eager(prim, *a, **k))[1])
+    monkeypatch.setattr(
+        _pjit, "_pjit_call_impl",
+        lambda *a, **k: (calls.append("pjit"), real_pjit(*a, **k))[1])
+    z_dec = coder.decompress(streams, batch_size=6)
+    assert calls == [], f"decompress dispatched to the device: {calls[:5]}"
+    assert z_dec.shape == (6, 64)
