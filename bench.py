@@ -18,6 +18,10 @@ Two modes, reported honestly:
   96px (STL10-native) batches — host->device transfer + on-device fused
   resize/normalize + ViT + symbols readback + threaded rANS + file framing.
   On tunneled environments this number is transfer-bound and labeled so.
+* `--folder-fed`: DISK -> bitstream end to end — synthetic 96px JPEGs on
+  disk, decoded by the parallel prefetching loader (data/loader.py), then
+  the same device path as --host-fed. The reference DataLoader pipeline's
+  equivalent measurement (hub/compressor.py:186-189).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -370,10 +374,115 @@ def main_host_fed():
     }))
 
 
+def _stage_jpeg_folder(n_imgs: int, side: int = 96) -> "Path":
+    """Stage n synthetic JPEGs (STL10-native 96px) on disk, once per host.
+
+    Honors BENCH_FOLDER_DIR; otherwise a content-keyed dir under /tmp that
+    is reused across runs (staging 16k JPEGs costs ~1 min, the bench should
+    not pay it every time). Natural-ish images (smooth random gradients +
+    texture) so JPEG decode cost is realistic rather than noise-image
+    worst-case.
+    """
+    import os
+    from pathlib import Path
+
+    from PIL import Image
+
+    root = Path(os.environ.get(
+        "BENCH_FOLDER_DIR", f"/tmp/lossyless_bench_jpegs_{n_imgs}_{side}"))
+    done = root / ".staged"
+    if done.exists():
+        return root
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:side, 0:side].astype(np.float32) / side
+    for i in range(n_imgs):
+        # 3 random low-frequency gradients + mild texture per image
+        freq = rng.uniform(1.0, 6.0, (3, 2)).astype(np.float32)
+        phase = rng.uniform(0, 2 * np.pi, (3,)).astype(np.float32)
+        base = np.stack([np.sin(2 * np.pi * (f[0] * xx + f[1] * yy) + p)
+                         for f, p in zip(freq, phase)], -1)
+        img = (127.5 + 100.0 * base
+               + rng.normal(0, 12, (side, side, 3))).clip(0, 255)
+        Image.fromarray(img.astype(np.uint8)).save(
+            root / f"{i:06d}.jpg", quality=90)
+    done.touch()
+    return root
+
+
+def main_folder_fed():
+    """End-to-end DISK -> bitstream: JPEG folder through the parallel
+    prefetching loader (CPU decode) into the device encode path.
+
+    The third labeled mode (VERDICT r4 #8): covers what the reference's
+    DataLoader(num_workers=16) pipeline covers — file read + JPEG decode on
+    host workers, prefetch overlapping device dispatch, raw 96px uint8
+    across the boundary, fused on-device resize/normalize/ViT/quantize,
+    threaded rANS, file framing. On tunneled environments the host->device
+    leg is transfer-bound and labeled so (same caveat as --host-fed).
+    """
+    _probe_device()
+
+    import tempfile
+    from pathlib import Path
+
+    from lossyless_tpu.data.loader import (decode_image_batch, n_workers,
+                                           prefetch)
+    from lossyless_tpu.hub.compressor import ClipCompressor
+    from lossyless_tpu.hub.load_reference import load_factorized_rate
+
+    n_imgs = BATCH * N_BATCHES
+    root = _stage_jpeg_folder(n_imgs)
+    paths = sorted(root.glob("*.jpg"))
+    assert len(paths) == n_imgs, (len(paths), n_imgs)
+
+    eb_params, scaling, biasing = load_factorized_rate("b005")
+    comp = ClipCompressor(eb_params, scaling, biasing,
+                          raw_input_hw=(96, 96))
+
+    def batches():
+        for i in range(0, n_imgs, BATCH):
+            yield decode_image_batch(paths[i:i + BATCH], (96, 96)), None
+
+    with tempfile.TemporaryDirectory() as td:
+        # warm: compile the fused preprocess+encode program untimed
+        warm = decode_image_batch(paths[:BATCH], (96, 96))
+        comp.compress_dataset(iter([(warm, None)]), Path(td) / "warm.bin",
+                              is_info=False)
+        t0 = time.time()
+        rate, _ = comp.compress_dataset(prefetch(batches()),
+                                        Path(td) / "bench.bin",
+                                        is_info=False)
+        wall = time.time() - t0
+
+    # loader-only throughput on the same files, same process (the decode
+    # ceiling this host imposes; deployment sizing = this number x cores)
+    t0 = time.time()
+    for i in range(0, n_imgs, BATCH):
+        decode_image_batch(paths[i:i + BATCH], (96, 96))
+    loader_wall = time.time() - t0
+
+    backend = jax.devices()[0].platform
+    print(json.dumps({
+        "metric": "stl10_encode_throughput_folder_fed",
+        "value": round(n_imgs / wall, 2),
+        "unit": "img/sec/chip",
+        "vs_baseline": round((n_imgs / wall) / BASELINE_IMG_PER_SEC, 3),
+        "input": "jpeg_folder_96px",
+        "bits_per_img": round(rate, 2),
+        "loader_img_per_sec": round(n_imgs / loader_wall, 2),
+        "loader_workers": n_workers(),
+        "backend": backend,
+        "transfer_bound_tunnel": backend == "tpu",
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
     if "--host-fed" in sys.argv:
         main_host_fed()
+    elif "--folder-fed" in sys.argv:
+        main_folder_fed()
     else:
         main()
