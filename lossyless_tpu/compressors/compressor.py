@@ -185,7 +185,18 @@ class LearnableCompressor(nn.Module):
         rngs = (jax.random.split(rng, 4) if rng is not None
                 else [None] * 4)
 
-        p_zlx = self.p_ZlX(x, training=training)
+        # contrastive recipes encode TWO views. concat_views fuses them into
+        # one 2B-batch forward (one encoder + one rate pass, better MXU
+        # occupancy); the default two-pass form matches the reference's
+        # sequential positive encode (distortions.py:305-338). Identical for
+        # per-sample nets; BatchNorm sees joint 2B stats when fused (the
+        # SimCLR convention). Rate logs then average both views.
+        is_two_view = (c.distortion.mode == "contrastive"
+                       and not c.distortion.is_already_featurized)
+        fuse_views = is_two_view and c.distortion.concat_views
+
+        enc_in = jnp.concatenate([x, aux_target], 0) if fuse_views else x
+        p_zlx = self.p_ZlX(enc_in, training=training)
         z = p_zlx.rsample(rngs[0]) if rng is not None else p_zlx.mean
         z_hat, rates, r_logs = self.rate_estimator(
             z, p_zlx, training=training, rng=rngs[1], step=step)
@@ -206,12 +217,22 @@ class LearnableCompressor(nn.Module):
             in_warmup = jnp.asarray(step) < c.rate.warmup_steps
             rates = jnp.where(in_warmup, rates_det, rates)
 
+        if fuse_views:
+            # split the fused batch back into (anchor, positive); the
+            # positive view's rates are discarded exactly as the two-pass
+            # form discards them (only the anchor's rate enters the loss)
+            b = x.shape[0]
+            z_hat, z_pos_hat = z_hat[:b], z_hat[b:]
+            rates = rates[:b]
+
         if is_rate_only:
             r_logs = dict(r_logs)
             r_logs["rate"] = rates.mean() / LOG2
             return rates.mean(), r_logs
 
-        if c.distortion.mode == "contrastive" and not c.distortion.is_already_featurized:
+        if fuse_views:
+            dist_target = z_pos_hat
+        elif is_two_view:
             # encode the positive view with the same compressor
             p_pos = self.p_ZlX(aux_target, training=training)
             z_pos = p_pos.rsample(rngs[2]) if rng is not None else p_pos.mean

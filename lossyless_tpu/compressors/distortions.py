@@ -41,6 +41,13 @@ class DistortionConfig:
     is_already_featurized: bool = False
     is_project: bool = True
     project_dim: int = 128
+    # fuse the two augmented views into ONE 2B-batch encoder/rate forward
+    # instead of two sequential B-batch passes (compressor.py::step). Better
+    # MXU occupancy and half the dispatch count; numerics differ only
+    # through BatchNorm batch statistics (joint 2B stats — the SimCLR
+    # convention — vs per-view stats, the reference's two-pass convention).
+    # Measured A/B: bin/train_step_bench.py --ab-concat; PERF.md round 5.
+    concat_views: bool = False
     # lossy_Z:
     p_norm: float = 1.0
 

@@ -242,3 +242,68 @@ def test_contrastive_grad_finite_with_zero_projection_rows():
 
     g = jax.grad(loss)(v["params"])
     assert all(bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(g))
+
+
+def _contrastive_cfg(concat_views: bool, arch="mlp", in_shape=(2,),
+                     arch_kwargs=None):
+    return CompressorConfig(
+        encoder=EncoderConfig(arch=arch, z_dim=16,
+                              arch_kwargs=arch_kwargs or dict(hid_dim=64)),
+        rate=RateConfig(mode="H_factorized"),
+        distortion=DistortionConfig(mode="contrastive", project_dim=16,
+                                    temperature=0.1,
+                                    concat_views=concat_views),
+        online=OnlineEvalConfig(is_online=False),
+        loss=LossConfig(beta=0.01, beta_anneal="constant"),
+        in_shape=in_shape, target_shape=1, aux_shape=in_shape,
+    )
+
+
+def test_concat_views_eval_identical_to_two_pass():
+    """Fused 2B forward == two sequential B passes for per-sample nets.
+
+    Deterministic eval (training=False, no rng): slicing a concatenated
+    MLP/rate forward must reproduce the two-pass numbers exactly — the fused
+    form only changes batching, not math (compressor.py::step fuse_views).
+    """
+    ds = BananaDataset(length=256, additional_target="representative")
+    batch = next(ds.batches(64, n_epochs=1))
+
+    losses, logsets = [], []
+    for concat in (False, True):
+        cfg = _contrastive_cfg(concat)
+        model = LearnableCompressor(cfg)
+        variables = model.init({"params": jax.random.key(0)}, *batch,
+                               training=True, step=0, rng=jax.random.key(1))
+        loss, logs = model.apply(variables, *batch, training=False, step=0,
+                                 method=model.step)
+        losses.append(float(loss))
+        logsets.append(logs)
+    assert losses[0] == losses[1]
+    np.testing.assert_array_equal(np.asarray(logsets[0]["distortion"]),
+                                  np.asarray(logsets[1]["distortion"]))
+    np.testing.assert_array_equal(np.asarray(logsets[0]["rate"]),
+                                  np.asarray(logsets[1]["rate"]))
+
+
+def test_concat_views_trains_with_batchnorm_encoder():
+    """Fused views + a BatchNorm conv encoder: joint 2B stats (the SimCLR
+    convention) must train stably end to end."""
+    cfg = CompressorConfig(
+        encoder=EncoderConfig(arch="resnet", z_dim=16,
+                              arch_kwargs=dict(base="resnet18")),
+        rate=RateConfig(mode="H_factorized"),
+        distortion=DistortionConfig(mode="contrastive", project_dim=16,
+                                    temperature=0.1, concat_views=True),
+        online=OnlineEvalConfig(is_online=False),
+        loss=LossConfig(beta=0.01, beta_anneal="constant"),
+        in_shape=(16, 16, 3), target_shape=1, aux_shape=(16, 16, 3),
+    )
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(8, 16, 16, 3)).astype(np.float32),
+             rng.integers(0, 2, (8, 1)).astype(np.float32),
+             rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+    model, state = make_state(cfg, batch)
+    for i in range(2):
+        state, logs = train_step(state, batch, jax.random.key(i))
+    assert np.isfinite(float(logs["loss"]))
