@@ -75,8 +75,23 @@ def build_indexes(scales: jax.Array, scale_table: np.ndarray) -> jax.Array:
     return jnp.sum(scales[..., None] > st[None, :], axis=-1).astype(jnp.int32)
 
 
-def build_cdf_tables(scale_table: np.ndarray, tail_mass: float = TAIL_MASS):
-    """Quantized CDFs per table scale (reference `update_scale_table` path)."""
+def build_cdf_tables(scale_table: np.ndarray, tail_mass: float = TAIL_MASS,
+                     arithmetic: str = "float64"):
+    """Quantized CDFs per table scale (reference `update_scale_table` path).
+
+    `arithmetic="float64"` (default): numpy float64, torch-free — what this
+    framework's own hyperprior coders use (self-consistent sender/receiver,
+    rates.py HyperpriorCoder). `arithmetic="compressai"`: torch-fp32,
+    op-for-op CompressAI's `GaussianConditional.update()` (including the
+    fp32 scale table and scipy ppf multiplier) — required only when
+    exchanging hyperprior streams with a CompressAI-based implementation,
+    for the same reason as the entropy bottleneck (fp32 roundoff decides
+    integer-table boundaries; see entropy_bottleneck.build_cdf_tables).
+    """
+    if arithmetic == "compressai":
+        return _compressai_fp32_tables(scale_table, tail_mass)
+    if arithmetic != "float64":
+        raise ValueError(f"unknown arithmetic={arithmetic!r}")
     from .entropy_bottleneck import CdfTables
     from .rans import pmf_to_quantized_cdf
 
@@ -104,6 +119,60 @@ def build_cdf_tables(scale_table: np.ndarray, tail_mass: float = TAIL_MASS):
         cdf_length=(pmf_length + 2).astype(np.int32),
         offset=(-pmf_center).astype(np.int32),
     )
+
+
+def _compressai_fp32_tables(scale_table, tail_mass: float):
+    """Torch-fp32 scale-table CDF build, bit-faithful to CompressAI's
+    GaussianConditional.update(): fp32 scale table, scipy-ppf multiplier
+    (float64 scalar, fp32 product), torch erfc cumulative, int32 centers.
+    Host-side setup only — nothing in the jit path touches torch."""
+    import torch
+    from scipy.stats import norm as _norm
+
+    from .entropy_bottleneck import CdfTables
+    from .rans import pmf_to_quantized_cdf
+
+    st = torch.as_tensor(np.asarray(scale_table), dtype=torch.float32)
+    multiplier = -float(_norm.ppf(tail_mass / 2))
+    pmf_center = torch.ceil(st * multiplier).int()
+    pmf_length = 2 * pmf_center + 1
+    max_length = int(pmf_length.max())
+
+    samples = torch.abs(
+        torch.arange(max_length).int() - pmf_center[:, None]).float()
+    sscale = st.unsqueeze(1)
+
+    def cum(x):
+        return 0.5 * torch.erfc(float(-(2 ** -0.5)) * x)
+
+    upper = cum((0.5 - samples) / sscale)
+    lower = cum((-0.5 - samples) / sscale)
+    pmf = upper - lower
+    tail = 2.0 * lower[:, :1]
+
+    n = len(st)
+    cdf = np.zeros((n, max_length + 2), dtype=np.int32)
+    for i in range(n):
+        prob = pmf[i, : int(pmf_length[i])].tolist() + [float(tail[i, 0])]
+        row = pmf_to_quantized_cdf(np.asarray(prob, np.float64))
+        cdf[i, : len(row)] = row
+    return CdfTables(
+        quantized_cdf=cdf,
+        cdf_length=(pmf_length + 2).numpy().astype(np.int32),
+        offset=(-pmf_center).numpy().astype(np.int32),
+    )
+
+
+def compressai_scale_table(min_scale=0.11, max_scale=256.0,
+                           levels=64) -> np.ndarray:
+    """The scale table as CompressAI's get_scale_table computes it — torch
+    fp32 linspace/exp (vs `default_scale_table`'s float64). Use together
+    with `build_cdf_tables(..., arithmetic="compressai")` for stream
+    interop with CompressAI-based hyperprior models."""
+    import torch
+
+    return torch.exp(torch.linspace(math.log(min_scale), math.log(max_scale),
+                                    levels)).numpy()
 
 
 def _np_standardized_cumulative(x):

@@ -294,3 +294,80 @@ def test_pmf_quantizer_matches_spec(seed):
     ours = pmf_to_quantized_cdf(pmf)
     spec = _spec_pmf_to_quantized_cdf(pmf)
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(spec))
+
+
+# ---------------------------------------------------------------------------
+# GaussianConditional scale-table build (the hyperprior's second codebook)
+# ---------------------------------------------------------------------------
+
+
+def _torch_gc_tables(scale_table, tail_mass, dtype):
+    """Independent torch implementation of the scale-table CDF spec
+    (CompressAI GaussianConditional.update()), parameterized by dtype so it
+    referees both the float64 production build and the fp32 interop build."""
+    from scipy.stats import norm as _norm
+
+    st = torch.as_tensor(np.asarray(scale_table), dtype=dtype)
+    multiplier = -float(_norm.ppf(tail_mass / 2))
+    pmf_center = torch.ceil(st * multiplier).long()
+    pmf_length = 2 * pmf_center + 1
+    max_length = int(pmf_length.max())
+    samples = torch.abs(
+        torch.arange(max_length) - pmf_center[:, None]).to(dtype)
+    upper = 0.5 * torch.erfc(-(2 ** -0.5) * ((0.5 - samples) / st[:, None]))
+    lower = 0.5 * torch.erfc(-(2 ** -0.5) * ((-0.5 - samples) / st[:, None]))
+    pmf = upper - lower
+    tail = 2.0 * lower[:, 0]
+    n = len(st)
+    cdf = np.zeros((n, max_length + 2), dtype=np.int32)
+    for i in range(n):
+        probs = pmf[i, : int(pmf_length[i])].tolist() + [float(tail[i])]
+        row = _spec_pmf_to_quantized_cdf(probs)
+        cdf[i, : len(row)] = row
+    return (cdf, (pmf_length + 2).numpy().astype(np.int32),
+            (-pmf_center).numpy().astype(np.int32))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_gc_tables_match_independent_torch(seed):
+    """Production float64 GC build vs the torch-fp64 referee: exact, modulo
+    ±1 float-tie artifacts (same contract as the EB check)."""
+    from lossyless_tpu.coding import gaussian_conditional as gc
+
+    rng = np.random.default_rng(300 + seed)
+    levels = int(rng.integers(4, 32))
+    table = np.sort(rng.uniform(0.12, 64.0, levels))
+    ours = gc.build_cdf_tables(table)
+    cdf, length, offset = _torch_gc_tables(table, gc.TAIL_MASS, torch.float64)
+    np.testing.assert_array_equal(ours.cdf_length, length)
+    np.testing.assert_array_equal(ours.offset, offset)
+    diff = ours.quantized_cdf.astype(np.int64) - cdf
+    assert np.abs(diff).max() <= 1
+
+
+def test_gc_compressai_mode_matches_fp32_referee_exactly():
+    """The interop build ("compressai") must equal the torch-fp32 referee
+    with NO tolerance — same fp32 kernels decide the ties on both sides."""
+    from lossyless_tpu.coding import gaussian_conditional as gc
+
+    table = gc.compressai_scale_table()
+    ours = gc.build_cdf_tables(table, arithmetic="compressai")
+    cdf, length, offset = _torch_gc_tables(table, gc.TAIL_MASS, torch.float32)
+    np.testing.assert_array_equal(ours.cdf_length, length)
+    np.testing.assert_array_equal(ours.offset, offset)
+    np.testing.assert_array_equal(ours.quantized_cdf, cdf)
+
+
+def test_gc_float64_vs_compressai_documented_delta():
+    """Pin the measured divergence between the two arithmetics on the
+    default 64-level table (1 row) — if this grows, streams minted under
+    one arithmetic stop decoding under the other for more symbols."""
+    from lossyless_tpu.coding import gaussian_conditional as gc
+
+    t64 = gc.build_cdf_tables(gc.default_scale_table())
+    tca = gc.build_cdf_tables(gc.compressai_scale_table(),
+                              arithmetic="compressai")
+    np.testing.assert_array_equal(t64.cdf_length, tca.cdf_length)
+    np.testing.assert_array_equal(t64.offset, tca.offset)
+    bad = int((t64.quantized_cdf != tca.quantized_cdf).any(1).sum())
+    assert bad <= 2, f"{bad} rows differ (was 1 when pinned)"
