@@ -153,9 +153,8 @@ def bench_encoder_only(name: str, batch: int, reps: int,
     batch = min(batch, len(ds))
     x = jnp.asarray(next(ds.batches(batch, n_epochs=1, seed=0))[0])
     variables = enc.init({"params": jax.random.key(0)}, x, training=True)
-    params, rest = variables.pop("params") if hasattr(variables, "pop") \
-        else (variables["params"],
-              {k: v for k, v in variables.items() if k != "params"})
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
 
     def loss_fn(p, x):
         out = enc.apply({"params": p, **rest}, x, training=True,
