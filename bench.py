@@ -470,6 +470,7 @@ def main_folder_fed():
         "vs_baseline": round((n_imgs / wall) / BASELINE_IMG_PER_SEC, 3),
         "input": "jpeg_folder_96px",
         "bits_per_img": round(rate, 2),
+        "rate_is_synthetic": True,  # random tower + synthetic images
         "loader_img_per_sec": round(n_imgs / loader_wall, 2),
         "loader_workers": n_workers(),
         "backend": backend,
