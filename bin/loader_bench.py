@@ -121,6 +121,16 @@ def main():
             r["src_px"] = size
             print(json.dumps(r), flush=True)
 
+        if size > args.out_px:
+            # downscale source: measure the opt-in libjpeg scaled decode
+            os.environ["LOSSYLESS_JPEG_DRAFT"] = "1"
+            try:
+                r = decode_throughput(paths, out_hw, 0, args.batch)
+                r.update(src_px=size, draft=True)
+                print(json.dumps(r), flush=True)
+            finally:
+                os.environ.pop("LOSSYLESS_JPEG_DRAFT", None)
+
         # overlap: serial inline vs prefetch, against the simulated device
         os.environ["LOSSYLESS_LOADER_WORKERS"] = str(os.cpu_count() or 1)
         cs = args.consumer_ms / 1e3

@@ -26,7 +26,15 @@ depth — the parallel map is ordered and writes disjoint rows, prefetch only
 moves *when* work happens, never what (tests/test_loader.py).
 
 Tuning knobs (env): `LOSSYLESS_LOADER_WORKERS` (default: min(16, cpus),
-0/1 = serial) and `LOSSYLESS_PREFETCH_DEPTH` (default 2, 0 = inline).
+0/1 = serial), `LOSSYLESS_PREFETCH_DEPTH` (default 2, 0 = inline), and
+`LOSSYLESS_JPEG_DRAFT` (default 0): when 1, JPEGs whose source resolution
+exceeds the decode target are decoded at a reduced DCT scale (PIL
+`Image.draft`, the libjpeg scaled-decode path) before the final BICUBIC
+resize. This skips the inverse-DCT + resample work above the target
+resolution — a 2-4x decode win on large sources (e.g. ImageNet ~500px ->
+224) — at the cost of slightly different pixels than full-resolution
+decode + resize, so it is OPT-IN and never changes bytes when off
+(tests/test_loader.py pins both properties).
 """
 
 from __future__ import annotations
@@ -56,6 +64,11 @@ def n_workers() -> int:
 def prefetch_depth() -> int:
     env = os.environ.get("LOSSYLESS_PREFETCH_DEPTH")
     return max(0, int(env)) if env is not None else 2
+
+
+def jpeg_draft_enabled() -> bool:
+    """Opt-in libjpeg scaled decode for sources larger than the target."""
+    return os.environ.get("LOSSYLESS_JPEG_DRAFT", "0") not in ("0", "", "false")
 
 
 def get_pool() -> ThreadPoolExecutor | None:
@@ -97,10 +110,17 @@ def decode_image_batch(paths: Sequence, size: tuple[int, int]) -> np.ndarray:
 
     h, w = size
     out = np.empty((len(paths), h, w, 3), np.uint8)
+    draft = jpeg_draft_enabled()
 
     def _one(i_p):
         i, p = i_p
-        img = Image.open(p).convert("RGB")
+        img = Image.open(p)
+        if draft and img.format == "JPEG" and \
+                (img.size[0] > w or img.size[1] > h):
+            # libjpeg decodes at the smallest DCT scale (1/1..1/8) still
+            # >= the target; must be requested before pixel access
+            img.draft("RGB", (w, h))
+        img = img.convert("RGB")
         if img.size != (w, h):
             img = img.resize((w, h), Image.BICUBIC)
         out[i] = np.asarray(img, np.uint8)

@@ -188,3 +188,64 @@ def test_load_image_folder_parallel_identical(img_tree, monkeypatch):
     np.testing.assert_array_equal(x0, x1)
     np.testing.assert_array_equal(y0, y1)
     assert c0 == c1
+
+
+class TestJpegDraft:
+    """Opt-in libjpeg scaled decode (LOSSYLESS_JPEG_DRAFT)."""
+
+    @pytest.fixture
+    def big_jpegs(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(7)
+        yy, xx = np.meshgrid(np.arange(448), np.arange(448), indexing="ij")
+        paths = []
+        for i in range(4):
+            base = 127 + 80 * np.sin(0.05 * xx + i) * np.cos(0.05 * yy)
+            arr = np.clip(base[..., None] + rng.normal(0, 10, (448, 448, 3)),
+                          0, 255).astype(np.uint8)
+            p = tmp_path / f"{i}.jpg"
+            Image.fromarray(arr).save(p, quality=90)
+            paths.append(p)
+        return paths
+
+    def test_off_by_default_bytes_unchanged(self, big_jpegs, monkeypatch):
+        """With the knob unset, decode bytes are the full-resolution path."""
+        from PIL import Image
+
+        monkeypatch.delenv("LOSSYLESS_JPEG_DRAFT", raising=False)
+        _with_workers(monkeypatch, 0)
+        got = loader.decode_image_batch(big_jpegs, (224, 224))
+        for i, p in enumerate(big_jpegs):
+            img = Image.open(p).convert("RGB").resize((224, 224), Image.BICUBIC)
+            np.testing.assert_array_equal(got[i], np.asarray(img, np.uint8))
+
+    def test_draft_close_and_deterministic_across_workers(self, big_jpegs,
+                                                          monkeypatch):
+        """Draft decode: right shape, visually close to the full decode
+        (it IS a different decode), and byte-identical at any worker count."""
+        monkeypatch.delenv("LOSSYLESS_JPEG_DRAFT", raising=False)
+        _with_workers(monkeypatch, 0)
+        full = loader.decode_image_batch(big_jpegs, (224, 224))
+
+        monkeypatch.setenv("LOSSYLESS_JPEG_DRAFT", "1")
+        d0 = loader.decode_image_batch(big_jpegs, (224, 224))
+        _with_workers(monkeypatch, 4)
+        d4 = loader.decode_image_batch(big_jpegs, (224, 224))
+
+        np.testing.assert_array_equal(d0, d4)
+        assert d0.shape == full.shape
+        # 448->224 is exactly the 1/2 DCT scale: close but not identical
+        err = np.abs(d0.astype(np.int16) - full.astype(np.int16)).mean()
+        assert err < 8.0, err
+
+    def test_draft_noop_when_target_not_smaller(self, img_tree, monkeypatch):
+        """Sources <= target must take the full-decode path: bytes identical
+        with the knob on and off (draft only fires on downscale)."""
+        _, paths = img_tree  # 40-90 px sources, target 224 upscale
+        _with_workers(monkeypatch, 0)
+        monkeypatch.delenv("LOSSYLESS_JPEG_DRAFT", raising=False)
+        off = loader.decode_image_batch(paths, (224, 224))
+        monkeypatch.setenv("LOSSYLESS_JPEG_DRAFT", "1")
+        on = loader.decode_image_batch(paths, (224, 224))
+        np.testing.assert_array_equal(off, on)
