@@ -374,28 +374,17 @@ def main_host_fed():
     }))
 
 
-def _stage_jpeg_folder(n_imgs: int, side: int = 96) -> "Path":
-    """Stage n synthetic JPEGs (STL10-native 96px) on disk, once per host.
-
-    Honors BENCH_FOLDER_DIR; otherwise a content-keyed dir under /tmp that
-    is reused across runs (staging 16k JPEGs costs ~1 min, the bench should
-    not pay it every time). Natural-ish images (smooth random gradients +
-    texture) so JPEG decode cost is realistic rather than noise-image
-    worst-case.
-    """
-    import os
-    from pathlib import Path
-
+def stage_jpegs(root, n_imgs: int, side: int, quality: int = 90,
+                seed: int = 0) -> list:
+    """Write n synthetic natural-ish JPEGs (smooth random gradients + mild
+    texture) under `root` — realistic decode cost, unlike pure noise which
+    inflates file size. The CANONICAL stager: bin/loader_bench.py imports
+    this one so both benches measure the same decode workload."""
     from PIL import Image
 
-    root = Path(os.environ.get(
-        "BENCH_FOLDER_DIR", f"/tmp/lossyless_bench_jpegs_{n_imgs}_{side}"))
-    done = root / ".staged"
-    if done.exists():
-        return root
-    root.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:side, 0:side].astype(np.float32) / side
+    paths = []
     for i in range(n_imgs):
         # 3 random low-frequency gradients + mild texture per image
         freq = rng.uniform(1.0, 6.0, (3, 2)).astype(np.float32)
@@ -404,8 +393,30 @@ def _stage_jpeg_folder(n_imgs: int, side: int = 96) -> "Path":
                          for f, p in zip(freq, phase)], -1)
         img = (127.5 + 100.0 * base
                + rng.normal(0, 12, (side, side, 3))).clip(0, 255)
-        Image.fromarray(img.astype(np.uint8)).save(
-            root / f"{i:06d}.jpg", quality=90)
+        p = root / f"{i:06d}.jpg"
+        Image.fromarray(img.astype(np.uint8)).save(p, quality=quality)
+        paths.append(p)
+    return paths
+
+
+def _stage_jpeg_folder(n_imgs: int, side: int = 96) -> "Path":
+    """Stage n synthetic JPEGs (STL10-native 96px) on disk, once per host.
+
+    Honors BENCH_FOLDER_DIR; otherwise a content-keyed dir under /tmp that
+    is reused across runs (staging 16k JPEGs costs ~1 min, the bench should
+    not pay it every time). The staged-marker is keyed by (n, side) so a
+    BENCH_N_BATCHES change restages rather than asserting on a stale count.
+    """
+    import os
+    from pathlib import Path
+
+    root = Path(os.environ.get(
+        "BENCH_FOLDER_DIR", f"/tmp/lossyless_bench_jpegs_{n_imgs}_{side}"))
+    done = root / f".staged_{n_imgs}_{side}"
+    if done.exists():
+        return root
+    root.mkdir(parents=True, exist_ok=True)
+    stage_jpegs(root, n_imgs, side)
     done.touch()
     return root
 
@@ -433,7 +444,8 @@ def main_folder_fed():
 
     n_imgs = BATCH * N_BATCHES
     root = _stage_jpeg_folder(n_imgs)
-    paths = sorted(root.glob("*.jpg"))
+    # a reused BENCH_FOLDER_DIR may hold more files from a larger prior run
+    paths = sorted(root.glob("*.jpg"))[:n_imgs]
     assert len(paths) == n_imgs, (len(paths), n_imgs)
 
     eb_params, scaling, biasing = load_factorized_rate("b005")

@@ -34,25 +34,9 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def stage_jpegs(root: Path, n: int, size: int, quality: int = 90,
-                seed: int = 0) -> list[Path]:
-    """Write n synthetic JPEGs (smooth gradients + noise: realistic decode
-    cost, unlike pure noise which inflates file size)."""
-    from PIL import Image
-
-    rng = np.random.default_rng(seed)
-    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
-    paths = []
-    for i in range(n):
-        f = 2 * np.pi * (i % 7 + 1) / size
-        base = 127 + 80 * np.sin(f * xx + i) * np.cos(f * yy)
-        img = np.clip(base[..., None] + rng.normal(0, 12, (size, size, 3)),
-                      0, 255).astype(np.uint8)
-        p = root / f"{i:06d}.jpg"
-        Image.fromarray(img).save(p, quality=quality)
-        paths.append(p)
-    return paths
+# one stager for every bench: both this tool and bench.py --folder-fed must
+# measure the SAME synthetic decode workload or their numbers drift apart
+from bench import stage_jpegs  # noqa: E402
 
 
 def decode_throughput(paths, out_hw: tuple[int, int], workers: int,

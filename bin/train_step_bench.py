@@ -94,7 +94,10 @@ def bench_preset(name: str, batch: int, reps: int,
     # 22.9 ms Dense-stack bound, PERF.md). Unavailable on some backends.
     flops_per_step = None
     try:
-        ca = jax.jit(k_steps).lower(state, 999).compile().cost_analysis()
+        # k_steps is already jitted: lower() on it reuses the compiled
+        # executable's cache key (an outer jax.jit() wrapper would force a
+        # second full XLA compile of the K-step program just to read costs)
+        ca = k_steps.lower(state, 999).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         if ca and "flops" in ca:
             flops_per_step = float(ca["flops"]) / K
@@ -120,7 +123,9 @@ def bench_preset(name: str, batch: int, reps: int,
         "final_loss_finite": bool(np.isfinite(float(loss))),
     }
     if flops_per_step:
-        PEAK = 197e12  # v5e dense bf16 peak (PERF.md)
+        # single source for the v5e peak so train MFU stays comparable to
+        # the encode bench's device_mfu
+        from bench import PEAK_BF16_FLOPS as PEAK
         rec["flops_per_step"] = round(flops_per_step)
         rec["peak_bound_ms"] = round(1e3 * flops_per_step / PEAK, 2)
         rec["frac_of_peak_bound"] = round(

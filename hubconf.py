@@ -26,7 +26,9 @@ and code path).
 
 from __future__ import annotations
 
-dependencies = ["jax", "flax", "numpy"]  # torch.hub-style dependency list
+# torch.hub-style dependency list; torch is required host-side (loading the
+# published .pt rate weights + the default compressai-fp32 table build)
+dependencies = ["jax", "flax", "numpy", "torch"]
 
 
 def _load(beta: str, pretrained: bool, **kwargs):

@@ -47,8 +47,12 @@ from typing import Callable, Iterable, Iterator, Sequence
 
 import numpy as np
 
-_POOL: ThreadPoolExecutor | None = None
-_POOL_WORKERS = 0
+# one pool per worker count, never shut down mid-process: shutting down the
+# old pool when the knob changes would race a still-live user of it (e.g. a
+# prefetch producer from an earlier dataset) into "cannot schedule new
+# futures after shutdown". Knob flips are a bench/test pattern, so at most a
+# handful of pools exist; idle threads cost nothing and join at exit.
+_POOLS: dict[int, ThreadPoolExecutor] = {}
 _POOL_LOCK = threading.Lock()
 
 
@@ -72,23 +76,21 @@ def jpeg_draft_enabled() -> bool:
 
 
 def get_pool() -> ThreadPoolExecutor | None:
-    """Shared decode pool (lazy; rebuilt if the worker knob changed).
+    """Shared decode pool for the current worker knob (lazy, cached).
 
     Returns None when workers <= 1: the serial path then runs inline with
     zero thread overhead (and keeps single-core test runs deterministic in
     their scheduling).
     """
-    global _POOL, _POOL_WORKERS
     w = n_workers()
     if w <= 1:
         return None
     with _POOL_LOCK:
-        if _POOL is None or _POOL_WORKERS != w:
-            if _POOL is not None:
-                _POOL.shutdown(wait=False)
-            _POOL = ThreadPoolExecutor(w, thread_name_prefix="lossyless-io")
-            _POOL_WORKERS = w
-        return _POOL
+        pool = _POOLS.get(w)
+        if pool is None:
+            pool = _POOLS[w] = ThreadPoolExecutor(
+                w, thread_name_prefix=f"lossyless-io-{w}")
+        return pool
 
 
 def decode_map(fn: Callable, items: Sequence) -> list:

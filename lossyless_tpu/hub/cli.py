@@ -118,6 +118,8 @@ def _build_compressor(args):
         from ..core.mesh import make_mesh
 
         kwargs["mesh"] = make_mesh(args.mesh)
+    if getattr(args, "table_arithmetic", None):
+        kwargs["table_arithmetic"] = args.table_arithmetic
     return load_pretrained(args.beta, clip_state_dict=clip_sd,
                            dtype=jnp.dtype(args.dtype), **kwargs)
 
@@ -214,6 +216,14 @@ def _add_model_flags(p):
                    help="tower compute dtype (bfloat16 on TPU)")
     p.add_argument("--arch", default="vit_b32", choices=("vit_b32", "tiny"),
                    help="tiny = 2-layer smoke-test tower")
+    p.add_argument("--table-arithmetic", default="compressai",
+                   choices=("compressai", "float64"),
+                   help="CDF-table float pipeline. The stream format has no "
+                        "arithmetic marker (it is byte-matched to the "
+                        "reference's), so sender and receiver MUST use the "
+                        "same value; 'compressai' cross-decodes with the "
+                        "reference hub, 'float64' is the torch-free build "
+                        "(and what pre-round-5 streams were minted with)")
 
 
 def main(argv=None) -> int:

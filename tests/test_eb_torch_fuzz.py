@@ -35,7 +35,9 @@ import math
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip(
+    "torch", reason="differential fuzz needs the independent torch path")
 
 from lossyless_tpu.coding import entropy_bottleneck as eb
 
