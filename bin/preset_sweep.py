@@ -67,6 +67,13 @@ def overrides(name: str) -> list[str]:
 
 
 def main(argv=None) -> int:
+    import os
+
+    # pin BOTH the config and the env: cli.main's respect_platform_env()
+    # re-asserts JAX_PLATFORMS from the environment, so a shell that pins
+    # it to the accelerator would otherwise silently override the config
+    # update and run the whole "CPU" sweep on the chip
+    os.environ['JAX_PLATFORMS'] = 'cpu'
     jax.config.update('jax_platforms', 'cpu')
     from lossyless_tpu.cli import main as cli_main
     from lossyless_tpu.pipeline.config import available_presets

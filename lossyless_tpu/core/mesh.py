@@ -59,6 +59,11 @@ def respect_platform_env():
         raise RuntimeError(
             f"JAX_PLATFORMS={p} requested but no backend for it is "
             f"available") from e
+    # plugin platforms can register under a canonical backend name (the
+    # axon TPU plugin reports 'tpu'); that IS the requested platform, not
+    # a site-hook override — don't warn about it
+    aliases = {"axon": "tpu"}
+    requested = aliases.get(requested, requested)
     if requested and actual != requested:
         warnings.warn(
             f"JAX_PLATFORMS={p} requested but jax already initialized the "
