@@ -29,6 +29,7 @@ resize+normalize into the device program with `--device-preprocess`.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -125,6 +126,9 @@ def _build_compressor(args):
 
 
 def cmd_compress(args) -> int:
+    if getattr(args, "jpeg_draft", False):
+        # flag form of the env knob (data/loader.py reads it per batch)
+        os.environ["LOSSYLESS_JPEG_DRAFT"] = "1"
     comp = _build_compressor(args)
     src = Path(args.input)
 
@@ -246,6 +250,11 @@ def main(argv=None) -> int:
                     metavar=("H", "W"),
                     help="inputs are uniform raw uint8 HxW; fuse "
                          "resize+normalize into the device program")
+    pc.add_argument("--jpeg-draft", action="store_true",
+                    help="decode JPEGs larger than the input size at a "
+                         "reduced DCT scale (libjpeg scaled decode, 2-3x "
+                         "faster; slightly different pixels than "
+                         "full-resolution decode — see PERF.md)")
     pc.add_argument("--mesh", type=int, default=0,
                     help="shard encode batches over N chips (0 = single "
                          "device); streams are identical for any mesh size")

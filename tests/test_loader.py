@@ -249,3 +249,21 @@ class TestJpegDraft:
         monkeypatch.setenv("LOSSYLESS_JPEG_DRAFT", "1")
         on = loader.decode_image_batch(paths, (224, 224))
         np.testing.assert_array_equal(off, on)
+
+
+def test_pool_knob_change_does_not_invalidate_old_pool(monkeypatch):
+    """Changing LOSSYLESS_LOADER_WORKERS must not shut down the pool a
+    still-live user holds (regression: the old get_pool() called
+    shutdown(wait=False) on it, racing concurrent prefetch producers into
+    'cannot schedule new futures after shutdown')."""
+    _with_workers(monkeypatch, 3)
+    p3 = loader.get_pool()
+    assert p3 is not None
+    _with_workers(monkeypatch, 5)
+    p5 = loader.get_pool()
+    assert p5 is not p3
+    # the old pool still schedules work
+    assert p3.submit(lambda: 41 + 1).result(timeout=5) == 42
+    # flipping back reuses the cached pool rather than building a third
+    _with_workers(monkeypatch, 3)
+    assert loader.get_pool() is p3
