@@ -63,14 +63,20 @@ def _build_library() -> Path | None:
             and stamp.exists() and stamp.read_text() == _host_stamp():
         return _LIB_PATH
     try:
+        # compile to a per-pid temp and os.replace (atomic on one fs): two
+        # processes racing the first build must never interleave writes
+        # into the same .so — a corrupt-but-loadable library dies with an
+        # uncatchable SIGSEGV on first call, not a catchable OSError
+        tmp = _LIB_PATH.with_name(f"{_LIB_PATH.name}.{os.getpid()}.tmp")
         subprocess.run(
             [
                 "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-std=c++17", "-pthread", str(src), "-o", str(_LIB_PATH),
+                "-std=c++17", "-pthread", str(src), "-o", str(tmp),
             ],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         stamp.write_text(_host_stamp())
         return _LIB_PATH
     except (subprocess.CalledProcessError, FileNotFoundError, OSError):

@@ -209,7 +209,14 @@ class LearnableCompressor(nn.Module):
         elif c.rate.warmup_steps > 0:
             # warmup: detached-rate path for the first warmup_steps
             # (reference warmup_k_epoch); where() zeroes the unselected
-            # branch's gradient
+            # branch's gradient. Two estimator calls are REQUIRED here:
+            # only the rate loss detaches from the encoder during warmup
+            # while z_hat (-> distortion) stays live, so the inputs cannot
+            # be where()-selected instead. Not a 2x runtime cost:
+            # stop_gradient is identity in the forward HLO, so XLA CSEs
+            # the duplicated estimator forward; the residual duplicate is
+            # the estimator's backward, whose whole marginal measures
+            # within run noise (PERF.md train-step attribution).
             z_det = jax.lax.stop_gradient(z)
             _, rates_det, _ = self.rate_estimator(
                 z_det, detach(p_zlx), training=training, rng=rngs[1],

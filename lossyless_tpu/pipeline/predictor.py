@@ -88,8 +88,12 @@ class PredictorTrainer:
 
     def _init(self, sample_z, seed: int):
         model = Predictor(self.cfg, self.in_shape, self.target_shape)
-        variables = model.init(jax.random.key(seed), jnp.asarray(sample_z),
-                               training=True)
+        k = jax.random.key(seed)
+        # 'dropout' stream for mlp_probe dropout_p > 0; fold_in keeps the
+        # 'params' stream identical to the pre-dropout-support init
+        variables = model.init({"params": k,
+                                "dropout": jax.random.fold_in(k, 1)},
+                               jnp.asarray(sample_z), training=True)
         tx = optax.adam(self.cfg.lr)
         params = variables["params"]
         return (model, params, variables.get("batch_stats", {}), tx,
@@ -100,18 +104,20 @@ class PredictorTrainer:
         XLA program when given (on-the-fly mode)."""
 
         @jax.jit
-        def step(params, batch_stats, opt_state, xb, yb):
+        def step(params, batch_stats, opt_state, xb, yb, rng):
             if featurize_fn is not None:
                 xb = jax.lax.stop_gradient(featurize_fn(xb))
 
             def loss_fn(p):
                 v = {"params": p}
+                rngs = {"dropout": rng}
                 if batch_stats:
                     v["batch_stats"] = batch_stats
                     y_hat, new_state = model.apply(
-                        v, xb, training=True, mutable=["batch_stats"])
+                        v, xb, training=True, rngs=rngs,
+                        mutable=["batch_stats"])
                 else:
-                    y_hat = model.apply(v, xb, training=True)
+                    y_hat = model.apply(v, xb, training=True, rngs=rngs)
                     new_state = {}
                 loss = prediction_loss(y_hat, yb,
                                        self.cfg.is_classification).mean()
@@ -155,19 +161,22 @@ class PredictorTrainer:
         y_dev = jnp.asarray(y_train)
 
         @jax.jit
-        def epoch(params, batch_stats, opt_state, z_all, y_all, order):
-            def body(carry, idx):
+        def epoch(params, batch_stats, opt_state, z_all, y_all, order, ekey):
+            def body(carry, idx_key):
                 params, bs, opt = carry
+                idx, key = idx_key
 
                 def loss_fn(p):
                     v = {"params": p}
                     xb, yb = z_all[idx], y_all[idx]
+                    rngs = {"dropout": key}
                     if bs:
                         v["batch_stats"] = bs
                         y_hat, new_state = model.apply(
-                            v, xb, training=True, mutable=["batch_stats"])
+                            v, xb, training=True, rngs=rngs,
+                            mutable=["batch_stats"])
                     else:
-                        y_hat = model.apply(v, xb, training=True)
+                        y_hat = model.apply(v, xb, training=True, rngs=rngs)
                         new_state = {}
                     loss = prediction_loss(
                         y_hat, yb, self.cfg.is_classification).mean()
@@ -178,14 +187,16 @@ class PredictorTrainer:
                 params = optax.apply_updates(params, updates)
                 return (params, new_state.get("batch_stats", bs), opt), loss
             idxs = order[:steps * bsz].reshape(steps, bsz)
+            keys = jax.random.split(ekey, steps)
             (params, batch_stats, opt_state), losses = jax.lax.scan(
-                body, (params, batch_stats, opt_state), idxs)
+                body, (params, batch_stats, opt_state), (idxs, keys))
             return params, batch_stats, opt_state, losses
 
-        for _ in range(self.cfg.n_epochs):
+        for ep in range(self.cfg.n_epochs):
             order = jnp.asarray(host_rng.permutation(n))
             params, batch_stats, opt_state, _ = epoch(
-                params, batch_stats, opt_state, z_dev, y_dev, order)
+                params, batch_stats, opt_state, z_dev, y_dev, order,
+                jax.random.fold_in(jax.random.key(seed), ep))
 
         return self._finalize(model, params, batch_stats)
 
@@ -205,6 +216,8 @@ class PredictorTrainer:
         model, params, batch_stats, tx, opt_state = self._init(sample_z, seed)
         step = self._make_step(model, tx, featurize_fn=featurize_fn)
 
+        base_key = jax.random.key(seed)
+        i = 0
         for epoch in range(self.cfg.n_epochs):
             for xb, yb, _ in dataset.batches(bsz, n_epochs=1,
                                              seed=seed + epoch):
@@ -212,7 +225,9 @@ class PredictorTrainer:
                     continue  # static shapes: skip the ragged tail batch
                 params, batch_stats, opt_state, loss = step(
                     params, batch_stats, opt_state,
-                    jnp.asarray(xb), jnp.asarray(yb))
+                    jnp.asarray(xb), jnp.asarray(yb),
+                    jax.random.fold_in(base_key, i))
+                i += 1
 
         return self._finalize(model, params, batch_stats)
 

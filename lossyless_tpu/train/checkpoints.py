@@ -23,6 +23,29 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _resolve_swap(path: Path) -> Path | None:
+    """Resolve a checkpoint dir written by the tmp/old two-rename swap,
+    covering every preemption window.
+
+    The swap is: save to `.tmp` (durable) -> rename path -> `.old` ->
+    rename `.tmp` -> path -> delete `.old`. A crash between the two renames
+    leaves NO `path` but BOTH `.old` and a COMPLETE `.tmp` (the save +
+    wait_until_finished happened before any rename); prefer `.tmp` (newest)
+    then `.old`. A bare `.tmp` with no `.old` and no `path` is a save that
+    died before the swap began on a first-ever checkpoint — incomplete,
+    never resolved. Without this, `restore()`/`has_last` would report "no
+    checkpoint" in that window and a resumed run would silently restart
+    from step 0 despite durable state on disk.
+    """
+    if path.exists():
+        return path
+    tmp = path.with_name(path.name + ".tmp")
+    old = path.with_name(path.name + ".old")
+    if old.exists():
+        return tmp if tmp.exists() else old
+    return None
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir: str | Path, monitor: str = "loss",
                  mode: str = "min"):
@@ -94,14 +117,14 @@ class CheckpointManager:
         return better
 
     def restore(self, target, which: str = "last"):
-        path = self.dir / which
-        if not path.exists():
+        path = _resolve_swap(self.dir / which)
+        if path is None:
             return None
         return self._ckptr.restore(path, target)
 
     @property
     def has_last(self) -> bool:
-        return (self.dir / "last").exists()
+        return _resolve_swap(self.dir / "last") is not None
 
     @property
     def best_value(self):
@@ -138,8 +161,10 @@ def save_weights(path: str | Path, params: Any, batch_stats: Any = None):
     tree = jax.device_get(params)
     if batch_stats:
         tree = {"params": tree, "batch_stats": jax.device_get(batch_stats)}
-    # atomic tmp-then-rename (see CheckpointManager._atomic_save): a
-    # preemption mid-export must not destroy an existing good export.
+    # same tmp/old two-rename swap as CheckpointManager._atomic_save: a
+    # preemption mid-export must not destroy an existing good export, and
+    # deleting the old export before the rename (a long multi-file rmtree
+    # of an orbax dir) would open exactly that window.
     # StandardCheckpointer commits asynchronously, so block until durable.
     tmp = path.with_name(path.name + ".tmp")
     if tmp.exists():
@@ -147,14 +172,20 @@ def save_weights(path: str | Path, params: Any, batch_stats: Any = None):
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(tmp, tree)
     ckptr.wait_until_finished()
+    old = path.with_name(path.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
     if path.exists():
-        shutil.rmtree(path)
+        path.rename(old)
     tmp.rename(path)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def load_weights(path: str | Path, target: Any):
     """Restore a bare-params export (legacy layout) against `target`."""
-    return ocp.StandardCheckpointer().restore(Path(path).absolute(), target)
+    p = Path(path).absolute()
+    return ocp.StandardCheckpointer().restore(_resolve_swap(p) or p, target)
 
 
 def export_layout_keys(path: str | Path) -> set | None:
@@ -164,7 +195,8 @@ def export_layout_keys(path: str | Path) -> set | None:
     else is a legacy bare-params (or subtree) export.
     """
     try:
-        md = ocp.StandardCheckpointer().metadata(Path(path).absolute())
+        p = Path(path).absolute()
+        md = ocp.StandardCheckpointer().metadata(_resolve_swap(p) or p)
         tree = getattr(getattr(md, "item_metadata", None), "tree", None)
         if isinstance(tree, dict):
             return set(tree.keys())
@@ -185,6 +217,7 @@ def load_state_weights(path: str | Path, params_target: Any,
     instead of being misread as a layout difference.
     """
     path = Path(path).absolute()
+    path = _resolve_swap(path) or path
     ckptr = ocp.StandardCheckpointer()
     if export_layout_keys(path) == {"params", "batch_stats"}:
         if stats_target:

@@ -304,9 +304,11 @@ class TrainState(flax.struct.PyTreeNode):
                coder: OptimConfig | None = None, frozen_paths: tuple = ()):
         x, y, aux = sample_batch
         init_rng, step_rng = jax.random.split(rng)
+        # 'dropout' stream for archs with dropout_p > 0; derived by fold_in
+        # so the 'params' stream (and every existing init) is unchanged
         variables = model.init(
-            {"params": init_rng}, x, y, aux, training=True, step=0,
-            rng=step_rng)
+            {"params": init_rng, "dropout": jax.random.fold_in(init_rng, 1)},
+            x, y, aux, training=True, step=0, rng=step_rng)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         tx = make_tx(params, main, online, coder, frozen_paths)
@@ -368,7 +370,7 @@ def _train_step_inner(state: TrainState, batch, rng):
             mutable = ["batch_stats"]
         out, new_model_state = state.apply_fn(
             variables, x, y, aux, training=True, step=state.step, rng=rng,
-            mutable=mutable)
+            rngs={"dropout": jax.random.fold_in(rng, 1)}, mutable=mutable)
         loss, logs = out
         return loss, (logs, new_model_state)
 

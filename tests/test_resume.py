@@ -118,3 +118,72 @@ def test_weights_export_preserves_batch_stats(tmp_path):
     for k, v in flat_want:
         np.testing.assert_array_equal(np.asarray(flat_got[k]),
                                       np.asarray(v))
+
+
+class TestSwapCrashWindows:
+    """Every preemption window of the tmp/old two-rename checkpoint swap
+    must still resolve to a complete checkpoint (regression: restore()/
+    has_last consulted only `path`, so a crash between the two renames
+    silently restarted the stage from step 0)."""
+
+    @pytest.fixture
+    def mgr_and_state(self, tmp_path):
+        from lossyless_tpu.train.checkpoints import CheckpointManager
+
+        state = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                 "b": np.float32(7.0)}
+        mgr = CheckpointManager(tmp_path / "ckpt")
+        mgr.save_last(state, step=3)
+        return mgr, state
+
+    def _target(self, state):
+        return jax.tree.map(np.zeros_like, state)
+
+    def test_mid_swap_window_resolves_to_tmp(self, mgr_and_state):
+        """No `last`, complete `last.tmp` + `last.old`: the window between
+        `path.rename(old)` and `tmp.rename(path)`."""
+        import shutil
+
+        mgr, state = mgr_and_state
+        last = mgr.dir / "last"
+        shutil.copytree(last, mgr.dir / "last.tmp")
+        last.rename(mgr.dir / "last.old")
+
+        assert mgr.has_last
+        got = mgr.restore(self._target(state))
+        np.testing.assert_array_equal(got["w"], state["w"])
+
+    def test_old_alone_resolves(self, mgr_and_state):
+        mgr, state = mgr_and_state
+        (mgr.dir / "last").rename(mgr.dir / "last.old")
+        assert mgr.has_last
+        got = mgr.restore(self._target(state))
+        np.testing.assert_array_equal(got["w"], state["w"])
+
+    def test_bare_tmp_is_not_a_checkpoint(self, tmp_path):
+        """A `.tmp` with no `path` and no `.old` is a first-ever save that
+        died mid-write — incomplete by construction, never resolved."""
+        from lossyless_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(tmp_path / "ckpt")
+        (mgr.dir / "last.tmp").mkdir()
+        assert not mgr.has_last
+        assert mgr.restore({"w": np.zeros(2)}) is None
+
+    def test_save_weights_never_deletes_before_swap(self, tmp_path):
+        """save_weights keeps a complete export through its whole swap:
+        simulate its mid-swap window and load through it."""
+        import shutil
+
+        from lossyless_tpu.train.checkpoints import (load_state_weights,
+                                                     save_weights)
+
+        params = {"dense": {"kernel": np.ones((3, 2), np.float32)}}
+        path = tmp_path / "best_featurizer"
+        save_weights(path, params)
+        shutil.copytree(path, tmp_path / "best_featurizer.tmp")
+        path.rename(tmp_path / "best_featurizer.old")
+
+        got, _ = load_state_weights(path, jax.tree.map(np.zeros_like, params))
+        np.testing.assert_array_equal(got["dense"]["kernel"],
+                                      params["dense"]["kernel"])
