@@ -71,8 +71,14 @@ def prefetch_depth() -> int:
 
 
 def jpeg_draft_enabled() -> bool:
-    """Opt-in libjpeg scaled decode for sources larger than the target."""
-    return os.environ.get("LOSSYLESS_JPEG_DRAFT", "0") not in ("0", "", "false")
+    """Opt-in libjpeg scaled decode for sources larger than the target.
+
+    Falsy spellings in any case ('0', '', 'false', 'no', 'off') disable —
+    a user exporting a Python bool ('False') must not silently get
+    different pixels than the full-resolution path they asked for.
+    """
+    v = os.environ.get("LOSSYLESS_JPEG_DRAFT", "0").strip().lower()
+    return v not in ("0", "", "false", "no", "off")
 
 
 def get_pool() -> ThreadPoolExecutor | None:

@@ -127,7 +127,17 @@ def _build_compressor(args):
 
 def cmd_compress(args) -> int:
     if getattr(args, "jpeg_draft", False):
-        # flag form of the env knob (data/loader.py reads it per batch)
+        # flag form of the env knob, read by the CLIP-preprocess decode
+        # (nn.vit.pil_clip_preprocess / data.loader). The other input paths
+        # never decode-and-resize JPEGs, so fail loudly rather than let the
+        # flag be a silent no-op there.
+        if args.device_preprocess:
+            raise SystemExit("--jpeg-draft has no effect with "
+                             "--device-preprocess (images are sent at "
+                             "native size; resizing happens on device)")
+        if Path(args.input).suffix == ".npz":
+            raise SystemExit("--jpeg-draft has no effect on .npz input "
+                             "(already-decoded arrays)")
         os.environ["LOSSYLESS_JPEG_DRAFT"] = "1"
     comp = _build_compressor(args)
     src = Path(args.input)

@@ -121,13 +121,18 @@ class ClipCompressor:
             self.scaling = jax.device_put(self.scaling, repl)
             self.biasing = jax.device_put(self.biasing, repl)
             # shard_map gives the (Pallas) kernels their true per-shard
-            # shapes; each chip encodes its batch shard independently
+            # shapes; each chip encodes its batch shard independently.
+            # check_vma=False: the body is pure per-shard data parallelism
+            # (no cross-shard collectives), and the vma checker otherwise
+            # rejects pallas_call outputs inside shard_map ("vma on
+            # ShapeDtypeStruct must not be None") when the tower uses the
+            # fused attention kernel on a TPU backend
             self._encode_fn = jax.jit(shard_map(
                 self._encode_symbols, mesh=mesh, in_specs=P("data"),
-                out_specs=P("data")))
+                out_specs=P("data"), check_vma=False))
             self._features_fn = jax.jit(shard_map(
                 self._features, mesh=mesh, in_specs=P("data"),
-                out_specs=P("data")))
+                out_specs=P("data"), check_vma=False))
         else:
             self._data_sharding = None
             self._encode_fn = jax.jit(self._encode_symbols)

@@ -334,8 +334,18 @@ def pil_clip_preprocess(images, size: int = 224) -> np.ndarray:
     """
     from PIL import Image
 
+    from ..data.loader import jpeg_draft_enabled
+
+    draft = jpeg_draft_enabled()
+
     def _one(im):
         pil = im if isinstance(im, Image.Image) else Image.fromarray(im)
+        if draft and pil.format == "JPEG":
+            # opt-in libjpeg scaled decode (must be requested before pixel
+            # access; no-op on already-loaded images): PIL picks the largest
+            # DCT reduction keeping both dims >= `size`, so the short side
+            # still reaches `size` for the bicubic pass below
+            pil.draft("RGB", (size, size))
         if pil.mode != "RGB":
             pil = pil.convert("RGB")
         w, h = pil.size

@@ -755,9 +755,9 @@ def main(cfg: ExperimentConfig) -> dict:
         state = TrainState.create(model, sample,
                                   jax.random.key(cfg.trainer.seed),
                                   main=cfg.optimizer_feat)
-        from ..train.checkpoints import _resolve_swap, load_state_weights
+        from ..train.checkpoints import resolve_swap, load_state_weights
         weights_path = Path(cfg.ckpt_dir) / cfg.long_name / "best_featurizer"
-        if _resolve_swap(weights_path) is None:
+        if resolve_swap(weights_path) is None:
             raise FileNotFoundError(
                 f"featurizer stage is marked done (sentinel in "
                 f"{stage_dir}) but its exported weights are missing at "

@@ -23,26 +23,66 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _resolve_swap(path: Path) -> Path | None:
-    """Resolve a checkpoint dir written by the tmp/old two-rename swap,
-    covering every preemption window.
+def _ckpt_readable(path: Path) -> bool:
+    """True when the directory holds a COMMITTED orbax checkpoint —
+    distinguishes it from one a crash left partial.
+
+    orbax writes `_CHECKPOINT_METADATA` at finalization, so its presence is
+    the commit marker; `metadata()` alone is NOT a valid probe (it returns
+    an empty StepMetadata on an empty/partial dir instead of raising).
+    Falls back to item metadata readability if the marker file name ever
+    changes across orbax versions.
+    """
+    if (path / "_CHECKPOINT_METADATA").exists():
+        return True
+    try:
+        md = ocp.StandardCheckpointer().metadata(path)
+        return getattr(md, "item_metadata", None) is not None
+    except Exception:
+        return False
+
+
+def resolve_swap(path: Path) -> Path | None:
+    """Resolve — and HEAL — a checkpoint dir written by the tmp/old
+    two-rename swap, covering every preemption window.
 
     The swap is: save to `.tmp` (durable) -> rename path -> `.old` ->
     rename `.tmp` -> path -> delete `.old`. A crash between the two renames
-    leaves NO `path` but BOTH `.old` and a COMPLETE `.tmp` (the save +
+    leaves NO `path` but `.old` plus a COMPLETE `.tmp` (the save +
     wait_until_finished happened before any rename); prefer `.tmp` (newest)
     then `.old`. A bare `.tmp` with no `.old` and no `path` is a save that
     died before the swap began on a first-ever checkpoint — incomplete,
     never resolved. Without this, `restore()`/`has_last` would report "no
     checkpoint" in that window and a resumed run would silently restart
     from step 0 despite durable state on disk.
+
+    Healing (rename the survivor back to `path`, drop leftovers) keeps the
+    window from COMPOUNDING: if the un-healed `.tmp` were merely read, the
+    next `_atomic_save` would rmtree it (the only newest checkpoint) and a
+    second preemption mid-save could leave a partial `.tmp` shadowing the
+    complete `.old` — so completeness is verified before preferring `.tmp`,
+    and the swap is finished on first touch. Healing failures (read-only
+    fs) fall back to returning the survivor unhealed.
     """
-    if path.exists():
-        return path
     tmp = path.with_name(path.name + ".tmp")
     old = path.with_name(path.name + ".old")
+    if path.exists():
+        return path
     if old.exists():
-        return tmp if tmp.exists() else old
+        if tmp.exists() and _ckpt_readable(tmp):
+            try:
+                tmp.rename(path)
+                shutil.rmtree(old)
+                return path
+            except OSError:
+                return tmp
+        try:
+            old.rename(path)
+            if tmp.exists():
+                shutil.rmtree(tmp)  # partial leftover of the dead save
+            return path
+        except OSError:
+            return old
     return None
 
 
@@ -74,8 +114,13 @@ class CheckpointManager:
         Deleting the old checkpoint before writing the new one would leave
         NO checkpoint if the job is preempted mid-save — the exact window a
         preemption-safe design must not have. rename() is atomic on one
-        filesystem, so `path` always holds a complete checkpoint.
+        filesystem, so `path` (or its healable swap leftovers) always holds
+        a complete checkpoint.
         """
+        # finish any interrupted swap first: without this, the rmtree below
+        # could delete a .tmp that is currently the NEWEST complete
+        # checkpoint (crash landed between the swap's two renames)
+        resolve_swap(path)
         tmp = path.with_name(path.name + ".tmp")
         if tmp.exists():
             shutil.rmtree(tmp)  # leftover from an interrupted save
@@ -117,14 +162,14 @@ class CheckpointManager:
         return better
 
     def restore(self, target, which: str = "last"):
-        path = _resolve_swap(self.dir / which)
+        path = resolve_swap(self.dir / which)
         if path is None:
             return None
         return self._ckptr.restore(path, target)
 
     @property
     def has_last(self) -> bool:
-        return _resolve_swap(self.dir / "last") is not None
+        return resolve_swap(self.dir / "last") is not None
 
     @property
     def best_value(self):
@@ -185,7 +230,7 @@ def save_weights(path: str | Path, params: Any, batch_stats: Any = None):
 def load_weights(path: str | Path, target: Any):
     """Restore a bare-params export (legacy layout) against `target`."""
     p = Path(path).absolute()
-    return ocp.StandardCheckpointer().restore(_resolve_swap(p) or p, target)
+    return ocp.StandardCheckpointer().restore(resolve_swap(p) or p, target)
 
 
 def export_layout_keys(path: str | Path) -> set | None:
@@ -196,7 +241,7 @@ def export_layout_keys(path: str | Path) -> set | None:
     """
     try:
         p = Path(path).absolute()
-        md = ocp.StandardCheckpointer().metadata(_resolve_swap(p) or p)
+        md = ocp.StandardCheckpointer().metadata(resolve_swap(p) or p)
         tree = getattr(getattr(md, "item_metadata", None), "tree", None)
         if isinstance(tree, dict):
             return set(tree.keys())
@@ -217,7 +262,7 @@ def load_state_weights(path: str | Path, params_target: Any,
     instead of being misread as a layout difference.
     """
     path = Path(path).absolute()
-    path = _resolve_swap(path) or path
+    path = resolve_swap(path) or path
     ckptr = ocp.StandardCheckpointer()
     if export_layout_keys(path) == {"params", "batch_stats"}:
         if stats_target:

@@ -267,3 +267,36 @@ def test_pool_knob_change_does_not_invalidate_old_pool(monkeypatch):
     # flipping back reuses the cached pool rather than building a third
     _with_workers(monkeypatch, 3)
     assert loader.get_pool() is p3
+
+
+def test_pil_clip_preprocess_honors_draft(tmp_path, monkeypatch):
+    """The CLIP-preprocess path (hub CLI compress folder input) must honor
+    the draft knob (regression: --jpeg-draft set the env but only
+    decode_image_batch read it, so the flag was a silent no-op for every
+    CLI input path) — and 'False' in any spelling must disable it."""
+    from PIL import Image
+
+    from lossyless_tpu.nn.vit import pil_clip_preprocess
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.meshgrid(np.arange(448), np.arange(448), indexing="ij")
+    base = 127 + 80 * np.sin(0.04 * xx) * np.cos(0.04 * yy)
+    arr = np.clip(base[..., None] + rng.normal(0, 10, (448, 448, 3)),
+                  0, 255).astype(np.uint8)
+    p = tmp_path / "big.jpg"
+    Image.fromarray(arr).save(p, quality=90)
+
+    _with_workers(monkeypatch, 0)
+    monkeypatch.delenv("LOSSYLESS_JPEG_DRAFT", raising=False)
+    full = pil_clip_preprocess([Image.open(p)])
+    monkeypatch.setenv("LOSSYLESS_JPEG_DRAFT", "1")
+    draft = pil_clip_preprocess([Image.open(p)])
+    assert draft.shape == full.shape == (1, 224, 224, 3)
+    # scaled decode is a DIFFERENT decode: close but not identical
+    assert not np.array_equal(draft, full)
+    assert float(np.abs(draft - full).mean()) < 0.1  # normalized units
+
+    # python-bool spelling disables (case-insensitive falsy parsing)
+    monkeypatch.setenv("LOSSYLESS_JPEG_DRAFT", "False")
+    off = pil_clip_preprocess([Image.open(p)])
+    np.testing.assert_array_equal(off, full)

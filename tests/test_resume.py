@@ -187,3 +187,58 @@ class TestSwapCrashWindows:
         got, _ = load_state_weights(path, jax.tree.map(np.zeros_like, params))
         np.testing.assert_array_equal(got["dense"]["kernel"],
                                       params["dense"]["kernel"])
+
+
+class TestSwapHealing:
+    """resolve_swap finishes an interrupted swap on first touch, so window
+    states cannot compound across repeated preemptions."""
+
+    def _mgr(self, tmp_path):
+        from lossyless_tpu.train.checkpoints import CheckpointManager
+
+        state = {"w": np.arange(4, dtype=np.float32)}
+        mgr = CheckpointManager(tmp_path / "ckpt")
+        mgr.save_last(state, step=1)
+        return mgr, state
+
+    def test_mid_swap_window_is_healed(self, tmp_path):
+        import shutil
+
+        mgr, state = self._mgr(tmp_path)
+        last = mgr.dir / "last"
+        shutil.copytree(last, mgr.dir / "last.tmp")
+        last.rename(mgr.dir / "last.old")
+
+        assert mgr.has_last  # first touch heals
+        assert (mgr.dir / "last").exists()
+        assert not (mgr.dir / "last.tmp").exists()
+        assert not (mgr.dir / "last.old").exists()
+        got = mgr.restore(jax.tree.map(np.zeros_like, state))
+        np.testing.assert_array_equal(got["w"], state["w"])
+
+    def test_partial_tmp_with_old_falls_back_to_old(self, tmp_path):
+        """Second-preemption shape: complete .old + PARTIAL .tmp + no path.
+        The incomplete tmp must not shadow the complete old."""
+        mgr, state = self._mgr(tmp_path)
+        (mgr.dir / "last").rename(mgr.dir / "last.old")
+        (mgr.dir / "last.tmp").mkdir()  # partial: no orbax metadata
+
+        got = mgr.restore(jax.tree.map(np.zeros_like, state))
+        np.testing.assert_array_equal(got["w"], state["w"])
+        assert (mgr.dir / "last").exists()
+        assert not (mgr.dir / "last.tmp").exists()
+
+    def test_save_heals_pending_window_first(self, tmp_path):
+        """_atomic_save on a window state must not destroy the newest
+        complete checkpoint (it heals, then swaps normally)."""
+        import shutil
+
+        mgr, state = self._mgr(tmp_path)
+        last = mgr.dir / "last"
+        shutil.copytree(last, mgr.dir / "last.tmp")
+        last.rename(mgr.dir / "last.old")
+
+        state2 = {"w": np.full(4, 9.0, np.float32)}
+        mgr.save_last(state2, step=2)
+        got = mgr.restore(jax.tree.map(np.zeros_like, state2))
+        np.testing.assert_array_equal(got["w"], state2["w"])
