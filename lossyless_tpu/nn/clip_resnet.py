@@ -34,6 +34,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from .layers import BN_MOMENTUM
+
 
 def _use_pallas() -> bool:
     from .flash_attn import use_pallas_backend
@@ -52,7 +54,7 @@ class ClipBottleneck(nn.Module):
     def __call__(self, x, *, training: bool = False):
         d = jnp.dtype(self.dtype)
         conv = partial(nn.Conv, use_bias=False, dtype=d)
-        norm = partial(nn.BatchNorm, use_running_average=not training)
+        norm = partial(nn.BatchNorm, use_running_average=not training, momentum=BN_MOMENTUM)
         out = conv(self.planes, (1, 1), name="conv1")(x)
         out = nn.relu(norm(name="bn1")(out)).astype(d)
         out = conv(self.planes, (3, 3), padding=1, name="conv2")(out)
@@ -121,7 +123,7 @@ class ClipResNet(nn.Module):
     def __call__(self, x, *, training: bool = False):
         d = jnp.dtype(self.dtype)
         conv = partial(nn.Conv, use_bias=False, dtype=d)
-        norm = partial(nn.BatchNorm, use_running_average=not training)
+        norm = partial(nn.BatchNorm, use_running_average=not training, momentum=BN_MOMENTUM)
         x = x.astype(d)
         x = conv(self.width // 2, (3, 3), 2, padding=1, name="conv1")(x)
         x = nn.relu(norm(name="bn1")(x)).astype(d)

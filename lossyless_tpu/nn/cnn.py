@@ -54,14 +54,14 @@ class CNNEncoder(nn.Module):
             x = jax.image.resize(x, (x.shape[0], h2, w2, x.shape[-1]), "bilinear")
         n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
         use_bias = norm_uses_bias(self.norm_layer)
-        act = get_activation(self.activation)()
+        act_f = get_activation(self.activation)
         x = x.astype(d)
         for i in range(n_layers):
             x = nn.Conv(self.hid_dim * 2 ** i, (3, 3), strides=2, padding=1,
                         use_bias=use_bias, dtype=d,
                         kernel_init=KAIMING_NORMAL_OUT)(x)
             x = apply_norm(self.norm_layer, x, training=training)
-            x = act(x).astype(d)
+            x = act_f()(x).astype(d)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(self.out_dim, dtype=d,
                         kernel_init=KAIMING_UNIFORM)(x).astype(jnp.float32)
@@ -84,7 +84,7 @@ class CNNDecoder(nn.Module):
         h2, w2 = _closest_pow2(h), _closest_pow2(w)
         n_layers = self.n_layers or int(math.log2(min(h2, w2)) - 1)
         use_bias = norm_uses_bias(self.norm_layer)
-        act = get_activation(self.activation)()
+        act_f = get_activation(self.activation)
 
         channels = [self.hid_dim * 2 ** i for i in range(n_layers)][::-1]
         end_h, end_w = h2 // 2 ** n_layers, w2 // 2 ** n_layers
@@ -96,7 +96,7 @@ class CNNDecoder(nn.Module):
         for i, out_chan in enumerate(outs):
             is_last = i == len(outs) - 1
             x = apply_norm(self.norm_layer, x, training=training)
-            x = act(x).astype(d)
+            x = act_f()(x).astype(d)
             x = nn.ConvTranspose(out_chan, (3, 3), strides=(2, 2),
                                  padding="SAME",
                                  use_bias=use_bias or is_last, dtype=d,
@@ -140,7 +140,7 @@ class BalleEncoder(nn.Module):
         if (h2, w2) != (h, w):
             x = jax.image.resize(x, (x.shape[0], h2, w2, x.shape[-1]), "bilinear")
         use_bias = norm_uses_bias(self.norm_layer)
-        act = get_activation(self.activation)()
+        act_f = get_activation(self.activation)
         d = jnp.dtype(self.dtype)
         x = x.astype(d)
         for i in range(self.n_layers):
@@ -151,7 +151,7 @@ class BalleEncoder(nn.Module):
                         kernel_init=KAIMING_NORMAL_OUT)(x)
             if not is_last:
                 x = apply_norm(self.norm_layer, x, training=training)
-                x = act(x).astype(d)
+                x = act_f()(x).astype(d)
         return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
@@ -173,7 +173,7 @@ class BalleDecoder(nn.Module):
         end_h, end_w = h2 // 2 ** self.n_layers, w2 // 2 ** self.n_layers
         chan = self.in_dim // (end_h * end_w)
         use_bias = norm_uses_bias(self.norm_layer)
-        act = get_activation(self.activation, inverse=True)()
+        act_f = get_activation(self.activation, inverse=True)
         d = jnp.dtype(self.dtype)
 
         x = z.reshape(z.shape[0], end_h, end_w, chan).astype(d)
@@ -185,7 +185,7 @@ class BalleDecoder(nn.Module):
                                  kernel_init=KAIMING_NORMAL_OUT)(x)
             if not is_last:
                 x = apply_norm(self.norm_layer, x, training=training)
-                x = act(x).astype(d)
+                x = act_f()(x).astype(d)
         if (h2, w2) != (h, w):
             x = jax.image.resize(x.astype(jnp.float32),
                                  (x.shape[0], h, w, c), "bilinear")

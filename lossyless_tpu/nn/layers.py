@@ -31,6 +31,13 @@ KAIMING_UNIFORM = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 KAIMING_NORMAL_OUT = nn.initializers.variance_scaling(2.0, "fan_out",
                                                       "normal")
 
+# Reference BN-statistics parity: torch BatchNorm2d's momentum=0.1 means
+# running = 0.9*running + 0.1*batch, i.e. flax momentum=0.9. Flax's 0.99
+# default would update running statistics 10x slower than the reference,
+# skewing eval-mode metrics for short runs. Every BatchNorm in the package
+# (apply_norm, resnet, clip_resnet) uses this constant.
+BN_MOMENTUM = 0.9
+
 
 class GDN(nn.Module):
     """Generalized divisive normalization (Ballé et al. 2016).
@@ -85,7 +92,7 @@ def apply_norm(norm_layer: str | None, x, *, training: bool):
     if norm_layer in (None, "identity"):
         return x
     if "batch" in norm_layer:
-        return nn.BatchNorm(use_running_average=not training)(x)
+        return nn.BatchNorm(use_running_average=not training, momentum=BN_MOMENTUM)(x)
     if "group" in norm_layer:
         c = x.shape[-1]
         groups = 8 if c % 8 == 0 else 1

@@ -40,14 +40,14 @@ class MLP(nn.Module):
     def __call__(self, x, *, training: bool = False):
         d = jnp.dtype(self.dtype)
         use_bias = norm_uses_bias(self.norm_layer)
-        act = get_activation(self.activation)()
+        act_f = get_activation(self.activation)
         # flatten everything but batch into features
         x = x.reshape(x.shape[0], -1).astype(d)
         for _ in range(self.n_hid_layers):
             x = nn.Dense(self.hid_dim, use_bias=use_bias, dtype=d,
                          kernel_init=KAIMING_UNIFORM)(x)
             x = apply_norm(self.norm_layer, x, training=training)
-            x = act(x).astype(d)
+            x = act_f()(x).astype(d)
             if self.dropout_p > 0:
                 x = nn.Dropout(self.dropout_p, deterministic=not training)(x)
         return nn.Dense(self.out_dim, dtype=d,

@@ -19,7 +19,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import KAIMING_NORMAL_OUT
+from .layers import BN_MOMENTUM, KAIMING_NORMAL_OUT
 
 
 class BasicBlock(nn.Module):
@@ -32,13 +32,16 @@ class BasicBlock(nn.Module):
         d = jnp.dtype(self.dtype)
         conv = partial(nn.Conv, use_bias=False, dtype=d,
                        kernel_init=KAIMING_NORMAL_OUT)
-        norm = partial(nn.BatchNorm, use_running_average=not training)
+        norm = partial(nn.BatchNorm, use_running_average=not training, momentum=BN_MOMENTUM)
         residual = x
         y = conv(self.filters, (3, 3), self.strides, padding=1)(x)
         y = norm()(y)
         y = nn.relu(y).astype(d)
         y = conv(self.filters, (3, 3), padding=1)(y)
-        y = norm(scale_init=nn.initializers.zeros)(y)
+        # reference parity: torchvision's default zero_init_residual=False
+        # (all BN gammas init to 1; the reference constructs resnet18/50
+        # with defaults, architectures.py:240-260)
+        y = norm()(y)
         if residual.shape[-1] != y.shape[-1] or self.strides != 1:
             residual = conv(self.filters, (1, 1), self.strides)(x)
             residual = norm()(residual)
@@ -55,7 +58,7 @@ class BottleneckBlock(nn.Module):
         d = jnp.dtype(self.dtype)
         conv = partial(nn.Conv, use_bias=False, dtype=d,
                        kernel_init=KAIMING_NORMAL_OUT)
-        norm = partial(nn.BatchNorm, use_running_average=not training)
+        norm = partial(nn.BatchNorm, use_running_average=not training, momentum=BN_MOMENTUM)
         residual = x
         y = conv(self.filters, (1, 1))(x)
         y = norm()(y)
@@ -64,7 +67,10 @@ class BottleneckBlock(nn.Module):
         y = norm()(y)
         y = nn.relu(y).astype(d)
         y = conv(self.filters * 4, (1, 1))(y)
-        y = norm(scale_init=nn.initializers.zeros)(y)
+        # reference parity: torchvision's default zero_init_residual=False
+        # (all BN gammas init to 1; the reference constructs resnet18/50
+        # with defaults, architectures.py:240-260)
+        y = norm()(y)
         if residual.shape[-1] != y.shape[-1] or self.strides != 1:
             residual = conv(self.filters * 4, (1, 1), self.strides)(x)
             residual = norm()(residual)
@@ -96,12 +102,12 @@ class ResNet(nn.Module):
             # stem surgery for small images (architectures.py:292-297)
             x = nn.Conv(64, (3, 3), 1, padding=1, use_bias=False, dtype=d,
                         kernel_init=KAIMING_NORMAL_OUT)(x)
-            x = nn.BatchNorm(use_running_average=not training)(x)
+            x = nn.BatchNorm(use_running_average=not training, momentum=BN_MOMENTUM)(x)
             x = nn.relu(x)
         else:
             x = nn.Conv(64, (7, 7), 2, padding=3, use_bias=False, dtype=d,
                         kernel_init=KAIMING_NORMAL_OUT)(x)
-            x = nn.BatchNorm(use_running_average=not training)(x)
+            x = nn.BatchNorm(use_running_average=not training, momentum=BN_MOMENTUM)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         x = x.astype(d)
